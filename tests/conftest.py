@@ -1,0 +1,15 @@
+"""Test harness configuration.
+
+Tests run on CPU with 8 virtual devices so multi-chip sharding paths are
+exercised without TPU hardware (SURVEY.md §4 implication; the driver
+separately dry-runs the multichip path). Must run before jax is imported.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (
+        xla_flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
