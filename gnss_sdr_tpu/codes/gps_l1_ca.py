@@ -57,6 +57,16 @@ def gps_l1_ca_code(prn: int) -> np.ndarray:
     return chips
 
 
+@functools.lru_cache(maxsize=1)
+def gps_l1_ca_code_table() -> np.ndarray:
+    """All 32 C/A codes as a [32, 1023] float32 table (row i = PRN i+1).
+
+    Used as the gather table for batched acquisition/tracking so satellite
+    reassignment is an index change, not a recompilation.
+    """
+    return np.stack([gps_l1_ca_code(p) for p in range(1, 33)]).astype(np.float32)
+
+
 def first_10_chips_octal(prn: int) -> int:
     """First 10 chips of the code as an octal integer (ICD Table 3-Ia check)."""
     chips = gps_l1_ca_code(prn)[:10]
