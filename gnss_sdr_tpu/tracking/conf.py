@@ -1,0 +1,70 @@
+"""Tracking configuration (reference: src/algorithms/tracking/libs/dll_pll_conf.h:36-88).
+
+One config struct parameterizes the universal DLL/PLL(/FLL) engine for all
+constellations, as `Dll_Pll_Conf` does for `dll_pll_veml_tracking`.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class DllPllConf:
+    fs: float
+    code_length_chips: int
+    code_rate_cps: float
+    carrier_freq_hz: float
+
+    # Correlator geometry
+    early_late_spacing_chips: float = 0.5
+    very_early_late_spacing_chips: float = 0.0   # > 0 enables VEML (5 taps, BOC)
+
+    # Loop bandwidths / orders (wide = before bit sync, narrow = after)
+    pll_bw_hz: float = 35.0
+    dll_bw_hz: float = 2.0
+    pll_bw_narrow_hz: float = 5.0
+    dll_bw_narrow_hz: float = 0.75
+    pll_filter_order: int = 3
+    dll_filter_order: int = 2
+
+    # FLL pull-in (reference enable_fll_pull_in / fll_bw_hz)
+    enable_fll_pull_in: bool = False
+    fll_bw_hz: float = 35.0
+    pull_in_time_s: float = 0.5
+
+    # Extended coherent integration after bit/secondary-code sync
+    extend_correlation_symbols: int = 1          # in code periods
+    codes_per_bit: int = 20                      # data-bit length in code periods
+
+    # Lock detection (reference cn0_* / max_*_lock_fail knobs)
+    cn0_estimation_blocks: int = 20
+    cn0_min_dbhz: float = 25.0
+    carrier_lock_threshold: float = 0.85
+    max_lock_fail_blocks: int = 2
+
+    # Batch geometry
+    max_channels: int = 12
+    steps_per_block: int = 20                    # code periods per device call
+
+    @property
+    def samples_per_code(self) -> int:
+        return int(round(self.fs * self.code_length_chips / self.code_rate_cps))
+
+    @property
+    def code_period_s(self) -> float:
+        return self.code_length_chips / self.code_rate_cps
+
+    @property
+    def num_taps(self) -> int:
+        return 5 if self.very_early_late_spacing_chips > 0 else 3
+
+    @property
+    def max_step_samples(self) -> int:
+        """Upper bound on samples consumed in one code period (with Doppler)."""
+        return self.samples_per_code + 2
+
+    @property
+    def window_samples(self) -> int:
+        """Input window length needed for one block of steps."""
+        return self.steps_per_block * self.max_step_samples + self.samples_per_code

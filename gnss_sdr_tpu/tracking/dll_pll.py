@@ -1,0 +1,276 @@
+"""Batched DLL/PLL(/FLL) tracking engine.
+
+The reference's universal tracker (src/algorithms/tracking/gnuradio_blocks/
+dll_pll_veml_tracking.cc) runs one GNU Radio block per channel, each thread
+consuming ~one PRN period of samples per general_work() call, closing the
+code/carrier loops every period (call stack in SURVEY.md §3.3).
+
+Here all channels are one batched array program (SURVEY.md §2.4 P2):
+
+- per-channel state lives in a `TrackingState` pytree of [C]-shaped arrays;
+- one jitted call runs `steps_per_block` PRN periods via `jax.lax.scan`
+  (sequential over time — the loop feedback demands it — parallel over
+  channels);
+- per-channel variable sample consumption (code Doppler makes PRN periods
+  non-uniform) is handled with per-channel sample pointers into a shared
+  overlap-save window plus masking: each step gathers `max_step_samples`
+  and masks the tail beyond the true period length;
+- carrier wipeoff + 3/5-tap code gather + dot products are fused by XLA into
+  one pass over the samples (the volk
+  32fc_32f_high_dynamic_rotator_dot_prod_32fc_xn equivalent);
+- extended coherent integration (reference extend_correlation_symbols,
+  states 3/4) runs on-device via per-channel accumulators; loop updates fire
+  only on integration boundaries via jnp.where;
+- carrier phase and code phase accumulate in float64 (the reference uses
+  double accumulators; see SURVEY.md §7 risks).
+
+Host-side control (bit sync, lock FSM, bandwidth switches) operates between
+blocks on the small per-step outputs — see `tracking/tracker.py`.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sdr_tpu.tracking.conf import DllPllConf
+from gnss_sdr_tpu.tracking.discriminators import (
+    dll_nelp,
+    dll_veml,
+    fll_atan2,
+    pll_atan2,
+    pll_costas_atan,
+)
+from gnss_sdr_tpu.tracking.loop_filter import loop_filter_step
+
+
+class TrackingState(NamedTuple):
+    """Per-channel tracking state ([C]-shaped leaves)."""
+
+    enabled: jnp.ndarray            # bool — channel active
+    pos: jnp.ndarray                # i32 — next-step start, window-relative
+    rem_code_phase: jnp.ndarray     # f64 — chips into the code at `pos`
+    code_freq: jnp.ndarray          # f64 — chips/s
+    carrier_phase: jnp.ndarray      # f64 — accumulated rad
+    carrier_doppler: jnp.ndarray    # f32 — Hz
+    pll_state: jnp.ndarray          # [C,2] f32
+    dll_state: jnp.ndarray          # [C,2] f32
+    prev_prompt: jnp.ndarray        # c64 — last boundary prompt (FLL)
+    fll_active: jnp.ndarray         # bool
+    narrow: jnp.ndarray             # bool — narrow-bandwidth mode
+    use_atan2: jnp.ndarray          # bool — four-quadrant PLL (pilot/sec-locked)
+    integ_len: jnp.ndarray          # i32 — code periods per loop update
+    integ_count: jnp.ndarray        # i32
+    acc_taps: jnp.ndarray           # [C,T] c64 — coherent accumulators
+    acc_samples: jnp.ndarray        # i32 — samples in current integration
+
+
+class StepOutputs(NamedTuple):
+    """Per-step, per-channel outputs ([S, C]-shaped after scan)."""
+
+    prompt: jnp.ndarray             # c64 — this period's prompt correlation
+    taps: jnp.ndarray               # [.., T] c64 — all correlator taps
+    boundary: jnp.ndarray           # bool — loop updated after this step
+    acc_prompt: jnp.ndarray         # c64 — integrated prompt (valid at boundary)
+    acc_samples: jnp.ndarray        # i32 — samples in that integration
+    carrier_doppler: jnp.ndarray    # f32 — Hz, after any update
+    code_freq: jnp.ndarray          # f64 — chips/s, after any update
+    carrier_phase: jnp.ndarray      # f64 — accumulated rad at period end
+    rem_code_phase: jnp.ndarray     # f64 — chips at period end
+    pos_end: jnp.ndarray            # i32 — window-relative end sample
+    n_samples: jnp.ndarray          # i32 — samples consumed this period
+
+
+def init_state(conf: DllPllConf) -> TrackingState:
+    c = conf.max_channels
+    t = conf.num_taps
+    return TrackingState(
+        enabled=jnp.zeros((c,), bool),
+        pos=jnp.zeros((c,), jnp.int32),
+        rem_code_phase=jnp.zeros((c,), jnp.float64),
+        code_freq=jnp.full((c,), conf.code_rate_cps, jnp.float64),
+        carrier_phase=jnp.zeros((c,), jnp.float64),
+        carrier_doppler=jnp.zeros((c,), jnp.float32),
+        pll_state=jnp.zeros((c, 2), jnp.float32),
+        dll_state=jnp.zeros((c, 2), jnp.float32),
+        prev_prompt=jnp.zeros((c,), jnp.complex64),
+        fll_active=jnp.zeros((c,), bool),
+        narrow=jnp.zeros((c,), bool),
+        use_atan2=jnp.zeros((c,), bool),
+        integ_len=jnp.ones((c,), jnp.int32),
+        integ_count=jnp.zeros((c,), jnp.int32),
+        acc_taps=jnp.zeros((c, t), jnp.complex64),
+        acc_samples=jnp.zeros((c,), jnp.int32),
+    )
+
+
+def tap_offsets_chips(conf: DllPllConf) -> np.ndarray:
+    """Correlator tap offsets in chips, prompt in the middle."""
+    d = conf.early_late_spacing_chips / 2.0
+    if conf.num_taps == 5:
+        v = conf.very_early_late_spacing_chips / 2.0
+        return np.array([-v, -d, 0.0, d, v], dtype=np.float32)
+    return np.array([-d, 0.0, d], dtype=np.float32)
+
+
+@partial(jax.jit, static_argnames=("conf",))
+def track_block(
+    conf: DllPllConf,
+    state: TrackingState,
+    window: jnp.ndarray,        # [W] complex64 — shared sample window
+    codes: jnp.ndarray,         # [C, L] float32 — per-channel PRN chips
+) -> tuple[TrackingState, StepOutputs]:
+    """Run `conf.steps_per_block` PRN periods for all channels."""
+    n_max = conf.max_step_samples
+    code_len = np.float64(conf.code_length_chips)
+    fs = np.float64(conf.fs)
+    two_pi = np.float32(2.0 * np.pi)
+    offsets = jnp.asarray(tap_offsets_chips(conf))            # [T]
+    p_idx = conf.num_taps // 2
+    k = jnp.arange(n_max, dtype=jnp.float32)                  # [N]
+
+    def step(st: TrackingState, _):
+        # ---- period geometry from current NCO frequencies -----------------
+        code_step = st.code_freq / fs                          # f64 chips/sample
+        n_f = (code_len - st.rem_code_phase) / code_step
+        n = jnp.clip(jnp.ceil(n_f).astype(jnp.int32), 1, n_max)
+        n = jnp.where(st.enabled, n, n_max)                   # idle chans burn max
+
+        # ---- gather the sample block per channel --------------------------
+        x = jax.vmap(
+            lambda p: jax.lax.dynamic_slice(window, (p,), (n_max,))
+        )(st.pos)                                              # [C, N]
+        mask = k[None, :] < n[:, None].astype(jnp.float32)     # [C, N]
+
+        # ---- carrier wipeoff ----------------------------------------------
+        phase0 = jnp.mod(st.carrier_phase, 2.0 * np.pi).astype(jnp.float32)
+        ph_step = (two_pi / np.float32(fs)) * st.carrier_doppler
+        ph = phase0[:, None] + ph_step[:, None] * k[None, :]   # [C, N]
+        wipe = jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
+        xw = x * wipe * mask                                   # [C, N]
+
+        # ---- code replica taps (resample local code at current rate) ------
+        cph = (
+            st.rem_code_phase[:, None].astype(jnp.float32)
+            + code_step[:, None].astype(jnp.float32) * k[None, :]
+        )                                                      # [C, N] chips
+        idx = jnp.floor(cph[:, None, :] + offsets[None, :, None]).astype(jnp.int32)
+        idx = jnp.mod(idx, conf.code_length_chips)             # [C, T, N]
+        ctaps = jnp.take_along_axis(
+            codes[:, None, :], idx, axis=2
+        )                                                      # [C, T, N] f32
+
+        # ---- correlate: sum_k xw[c,k] * code[c,t,k] ------------------------
+        corr = jnp.sum(xw[:, None, :] * ctaps, axis=-1)        # [C, T] c64
+
+        # ---- coherent accumulation ----------------------------------------
+        acc_taps = st.acc_taps + corr
+        acc_samples = st.acc_samples + n
+        integ_count = jnp.where(st.enabled, st.integ_count + 1, 0)
+        boundary = (integ_count >= st.integ_len) & st.enabled
+
+        # ---- loop update at integration boundaries ------------------------
+        t_int = acc_samples.astype(jnp.float32) / np.float32(fs)
+        prompt_acc = acc_taps[:, p_idx]
+        e_acc = acc_taps[:, p_idx - 1]
+        l_acc = acc_taps[:, p_idx + 1]
+
+        carr_err = jnp.where(
+            st.use_atan2,
+            pll_atan2(prompt_acc.real, prompt_acc.imag),
+            pll_costas_atan(prompt_acc.real, prompt_acc.imag),
+        ) / two_pi                                             # cycles
+        freq_err = fll_atan2(st.prev_prompt, prompt_acc, t_int)  # Hz
+
+        pll_bw = jnp.where(st.narrow, np.float32(conf.pll_bw_narrow_hz),
+                           np.float32(conf.pll_bw_hz))
+        dll_bw = jnp.where(st.narrow, np.float32(conf.dll_bw_narrow_hz),
+                           np.float32(conf.dll_bw_hz))
+
+        # FLL assist feeds the PLL integrator (only while fll_active)
+        w0f = np.float32(conf.fll_bw_hz / 0.53)
+        pll_st = st.pll_state.at[:, 0].add(
+            jnp.where(boundary & st.fll_active, w0f * w0f * freq_err * t_int, 0.0)
+        )
+        pll_st_new, pll_out = loop_filter_step(
+            pll_st, carr_err, pll_bw, t_int, conf.pll_filter_order
+        )
+
+        if conf.num_taps == 5:
+            code_err = dll_veml(
+                acc_taps[:, 0], e_acc, l_acc, acc_taps[:, 4]
+            )
+        else:
+            code_err = dll_nelp(
+                e_acc.real, e_acc.imag, l_acc.real, l_acc.imag,
+                conf.early_late_spacing_chips,
+            )
+        dll_st_new, dll_out = loop_filter_step(
+            st.dll_state, code_err, dll_bw, t_int, conf.dll_filter_order
+        )
+
+        doppler_new = jnp.where(boundary, pll_out, st.carrier_doppler)
+        # carrier-aided code NCO (reference run_dll_pll code freq update)
+        aid = doppler_new.astype(jnp.float64) * (
+            conf.code_rate_cps / conf.carrier_freq_hz
+        )
+        code_freq_new = jnp.where(
+            boundary,
+            np.float64(conf.code_rate_cps) + aid - dll_out.astype(jnp.float64),
+            st.code_freq,
+        )
+
+        # ---- advance NCO state by the consumed period ---------------------
+        nf64 = n.astype(jnp.float64)
+        carrier_phase = st.carrier_phase + (
+            2.0 * np.pi / fs
+        ) * st.carrier_doppler.astype(jnp.float64) * nf64
+        rem_new = st.rem_code_phase + nf64 * code_step - code_len
+        rem_new = jnp.where(rem_new < 0.0, rem_new + code_len, rem_new)
+
+        upd = lambda new, old: jnp.where(st.enabled, new, old)
+        bsel = lambda new, old: jnp.where(boundary, new, old)
+        new_state = TrackingState(
+            enabled=st.enabled,
+            pos=upd(st.pos + n, st.pos),
+            rem_code_phase=upd(rem_new, st.rem_code_phase),
+            code_freq=upd(code_freq_new, st.code_freq),
+            carrier_phase=upd(carrier_phase, st.carrier_phase),
+            carrier_doppler=upd(doppler_new, st.carrier_doppler),
+            pll_state=jnp.where(
+                (boundary & st.enabled)[:, None], pll_st_new, st.pll_state
+            ),
+            dll_state=jnp.where(
+                (boundary & st.enabled)[:, None], dll_st_new, st.dll_state
+            ),
+            prev_prompt=bsel(prompt_acc, st.prev_prompt),
+            fll_active=st.fll_active,
+            narrow=st.narrow,
+            use_atan2=st.use_atan2,
+            integ_len=st.integ_len,
+            integ_count=jnp.where(boundary, 0, integ_count),
+            acc_taps=jnp.where(
+                boundary[:, None], jnp.zeros_like(acc_taps), acc_taps
+            ),
+            acc_samples=jnp.where(boundary, 0, acc_samples),
+        )
+        out = StepOutputs(
+            prompt=corr[:, p_idx],
+            taps=corr,
+            boundary=boundary,
+            acc_prompt=prompt_acc,
+            acc_samples=acc_samples,
+            carrier_doppler=doppler_new,
+            code_freq=code_freq_new,
+            carrier_phase=carrier_phase,
+            rem_code_phase=rem_new,
+            pos_end=st.pos + n,
+            n_samples=n,
+        )
+        return new_state, out
+
+    return jax.lax.scan(step, state, None, length=conf.steps_per_block)

@@ -1,0 +1,276 @@
+"""Host-side tracking controller around the batched device engine.
+
+Plays the role of the reference's per-channel state machine (states 0-4 of
+dll_pll_veml_tracking.cc general_work, :1898-2260) and the channel FSM's
+tracking side (src/algorithms/channel/libs/channel_fsm.cc), re-expressed as
+block-wise control: the device advances all channels `steps_per_block` PRN
+periods per call; between calls the host
+
+- pulls the per-period outputs (one small d2h per block),
+- runs bit synchronization (histogram of prompt sign flips, the reference's
+  libs/bit_synchronizer.cc approach),
+- estimates C/N0 + carrier lock and counts lock failures
+  (cn0_and_tracking_lock_status, dll_pll_veml_tracking.cc:1167-1230),
+- switches channels to narrow-bandwidth extended integration after sync
+  (extend_correlation_symbols), or flags loss of lock for the flowgraph.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import IntEnum
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gnss_sdr_tpu.tracking.conf import DllPllConf
+from gnss_sdr_tpu.tracking.dll_pll import TrackingState, init_state, track_block
+from gnss_sdr_tpu.tracking.lock_detectors import carrier_lock_detector, cn0_svn_estimator
+
+
+class ChannelPhase(IntEnum):
+    IDLE = 0
+    WIDE = 1        # 1-period integration, wide bandwidths (+ optional FLL)
+    NARROW = 2      # bit-synced, extended integration, narrow bandwidths
+    LOST = 3        # loss of lock flagged; awaiting flowgraph action
+
+
+@dataclass
+class ChannelControl:
+    phase: ChannelPhase = ChannelPhase.IDLE
+    prn: int = 0
+    total_periods: int = 0           # code periods processed since start
+    bit_hist: np.ndarray = field(
+        default_factory=lambda: np.zeros(0, dtype=np.int64))
+    transitions: int = 0
+    last_sign: float = 0.0
+    bit_phase: int = -1              # period index (mod codes_per_bit) of bit edge
+    prompt_hist: list = field(default_factory=list)
+    hist_n: int = 0                  # samples per prompt in the history
+    cn0_dbhz: float = 0.0
+    carrier_lock: float = 0.0
+    lock_fail_blocks: int = 0
+
+
+@dataclass
+class BlockResult:
+    """Host copies of one block's outputs plus bookkeeping."""
+
+    outputs: dict                    # str -> np.ndarray [S, C]
+    abs_sample_end: np.ndarray       # [S, C] i64 absolute sample stamps
+    events: list                     # (channel, "loss_of_lock" | "bit_sync")
+
+
+class Tracker:
+    """Batched multi-channel tracker with host FSM."""
+
+    def __init__(self, conf: DllPllConf, code_table: np.ndarray) -> None:
+        self.conf = conf
+        self.code_table = np.asarray(code_table, dtype=np.float32)
+        self.state: TrackingState = init_state(conf)
+        c = conf.max_channels
+        self.codes = np.zeros((c, code_table.shape[1]), dtype=np.float32)
+        self.pos_abs = np.zeros(c, dtype=np.int64)    # absolute next sample
+        self.ctl = [ChannelControl() for _ in range(c)]
+        for ch in self.ctl:
+            ch.bit_hist = np.zeros(conf.codes_per_bit, dtype=np.int64)
+
+    # ----------------------------------------------------------------- setup
+    def start_channel(
+        self,
+        ch: int,
+        prn: int,
+        code_row: int,
+        acq_delay_samples: float,
+        acq_doppler_hz: float,
+        acq_samplestamp: int,
+        current_abs_sample: int,
+    ) -> None:
+        """Pull-in: align to the first code boundary at/after the stream head
+        (reference state 1, dll_pll_veml_tracking.cc:1949-1982)."""
+        conf = self.conf
+        period = conf.samples_per_code
+        boundary = acq_samplestamp + acq_delay_samples
+        if boundary < current_abs_sample:
+            k = int(np.ceil((current_abs_sample - boundary) / period))
+            boundary += k * period
+        # first integer sample at/after the code boundary; the sub-sample
+        # remainder becomes the initial code phase in chips
+        start = int(np.ceil(boundary))
+        rem0 = (start - boundary) * conf.code_rate_cps / conf.fs
+
+        self.codes[ch] = self.code_table[code_row]
+        self.pos_abs[ch] = start
+        self.ctl[ch] = ChannelControl(phase=ChannelPhase.WIDE, prn=prn)
+        self.ctl[ch].bit_hist = np.zeros(conf.codes_per_bit, dtype=np.int64)
+
+        fd = float(acq_doppler_hz)
+        code_freq = conf.code_rate_cps * (1.0 + fd / conf.carrier_freq_hz)
+        s = self.state
+        self.state = s._replace(
+            enabled=s.enabled.at[ch].set(True),
+            pos=s.pos.at[ch].set(0),
+            rem_code_phase=s.rem_code_phase.at[ch].set(rem0),
+            code_freq=s.code_freq.at[ch].set(code_freq),
+            carrier_phase=s.carrier_phase.at[ch].set(0.0),
+            carrier_doppler=s.carrier_doppler.at[ch].set(fd),
+            pll_state=s.pll_state.at[ch].set(
+                jnp.array([fd, 0.0], dtype=jnp.float32)
+                if self.conf.pll_filter_order >= 2
+                else jnp.zeros(2, jnp.float32)
+            ),
+            dll_state=s.dll_state.at[ch].set(jnp.zeros(2, jnp.float32)),
+            prev_prompt=s.prev_prompt.at[ch].set(jnp.zeros((), jnp.complex64)),
+            fll_active=s.fll_active.at[ch].set(bool(conf.enable_fll_pull_in)),
+            narrow=s.narrow.at[ch].set(False),
+            use_atan2=s.use_atan2.at[ch].set(False),
+            integ_len=s.integ_len.at[ch].set(1),
+            integ_count=s.integ_count.at[ch].set(0),
+            acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_samples=s.acc_samples.at[ch].set(0),
+        )
+
+    def stop_channel(self, ch: int) -> None:
+        self.state = self.state._replace(
+            enabled=self.state.enabled.at[ch].set(False)
+        )
+        self.ctl[ch].phase = ChannelPhase.IDLE
+
+    def active_channels(self) -> list[int]:
+        return [i for i, c in enumerate(self.ctl)
+                if c.phase in (ChannelPhase.WIDE, ChannelPhase.NARROW)]
+
+    # --------------------------------------------------------------- windows
+    def window_request(self) -> tuple[int, int]:
+        """(absolute start sample, length) of the next window to feed."""
+        act = self.active_channels()
+        base = int(min(self.pos_abs[i] for i in act)) if act else 0
+        return base, self.conf.window_samples
+
+    # --------------------------------------------------------------- process
+    def process(self, window: np.ndarray, abs_base: int) -> BlockResult:
+        """Advance all active channels one block through the given window."""
+        conf = self.conf
+        act = self.active_channels()
+        rel = self.pos_abs - abs_base
+        if act:
+            spread = int(rel[act].max())
+            need = spread + conf.steps_per_block * conf.max_step_samples
+            if need > len(window):
+                raise ValueError(
+                    f"window too short: need {need}, got {len(window)} "
+                    f"(channel spread {spread})"
+                )
+        st = self.state._replace(
+            pos=jnp.asarray(np.maximum(rel, 0).astype(np.int32))
+        )
+        new_state, outs = track_block(
+            conf, st, jnp.asarray(window, dtype=jnp.complex64),
+            jnp.asarray(self.codes),
+        )
+        self.state = new_state
+        host = {k: np.asarray(v) for k, v in outs._asdict().items()}
+        abs_end = host["pos_end"].astype(np.int64) + abs_base
+        for i in act:
+            self.pos_abs[i] = abs_end[-1, i]
+
+        events = []
+        for i in act:
+            evs = self._update_channel_control(i, host)
+            events.extend((i, e) for e in evs)
+        return BlockResult(outputs=host, abs_sample_end=abs_end, events=events)
+
+    # ------------------------------------------------------------------- fsm
+    def _update_channel_control(self, ch: int, host: dict) -> list[str]:
+        conf = self.conf
+        ctl = self.ctl[ch]
+        events: list[str] = []
+        prompts = host["prompt"][:, ch]                    # [S] per-period
+        signs = np.sign(prompts.real)
+        first_period = ctl.total_periods
+        ctl.total_periods += len(signs)
+
+        # FLL assist only during pull-in (reference pull_in_time_s), then
+        # pure PLL to avoid FLL/PLL steady-state contention
+        if conf.enable_fll_pull_in and ctl.phase == ChannelPhase.WIDE:
+            pull_in_periods = conf.pull_in_time_s / conf.code_period_s
+            if first_period < pull_in_periods <= ctl.total_periods:
+                self.state = self.state._replace(
+                    fll_active=self.state.fll_active.at[ch].set(False)
+                )
+
+        if ctl.phase == ChannelPhase.WIDE and conf.extend_correlation_symbols > 1:
+            for s_i in range(len(signs)):
+                period = first_period + s_i
+                if ctl.last_sign != 0.0 and signs[s_i] != ctl.last_sign:
+                    ctl.bit_hist[period % conf.codes_per_bit] += 1
+                    ctl.transitions += 1
+                ctl.last_sign = signs[s_i]
+            if ctl.transitions >= 16:
+                top = int(ctl.bit_hist.argmax())
+                if ctl.bit_hist[top] >= 0.8 * ctl.transitions:
+                    ctl.bit_phase = top
+                    self._engage_extended(ch)
+                    events.append("bit_sync")
+                else:
+                    # ambiguous histogram: restart the vote
+                    ctl.bit_hist[:] = 0
+                    ctl.transitions = 0
+
+        # C/N0 + carrier lock from boundary prompts of this block.  The
+        # history only ever holds prompts of one coherent length: when the
+        # integration length changes (extended mode engaged) the estimate
+        # restarts, as the reference does on state transitions.
+        b = host["boundary"][:, ch]
+        if b.any():
+            acc = host["acc_prompt"][b, ch]
+            n_acc = host["acc_samples"][b, ch]
+            t_coh = float(n_acc[-1]) / conf.fs
+            keep = n_acc > 0.9 * n_acc[-1]
+            if ctl.hist_n and abs(ctl.hist_n - int(n_acc[-1])) > 0.1 * ctl.hist_n:
+                ctl.prompt_hist = []
+            ctl.hist_n = int(n_acc[-1])
+            ctl.prompt_hist.extend(acc[keep].tolist())
+            max_hist = conf.cn0_estimation_blocks
+            if len(ctl.prompt_hist) > max_hist:
+                ctl.prompt_hist = ctl.prompt_hist[-max_hist:]
+            if len(ctl.prompt_hist) >= max_hist:
+                ph = np.asarray(ctl.prompt_hist)
+                ctl.cn0_dbhz = cn0_svn_estimator(ph, t_coh)
+                ctl.carrier_lock = carrier_lock_detector(ph)
+                bad = (
+                    ctl.cn0_dbhz < conf.cn0_min_dbhz
+                    or ctl.carrier_lock < -conf.carrier_lock_threshold
+                )
+                ctl.lock_fail_blocks = ctl.lock_fail_blocks + 1 if bad else 0
+                if ctl.lock_fail_blocks >= conf.max_lock_fail_blocks:
+                    ctl.phase = ChannelPhase.LOST
+                    self.stop_channel(ch)
+                    self.ctl[ch].phase = ChannelPhase.LOST
+                    events.append("loss_of_lock")
+        return events
+
+    def _engage_extended(self, ch: int) -> None:
+        """Switch to narrow-band extended integration aligned to bit edges."""
+        conf = self.conf
+        ctl = self.ctl[ch]
+        ctl.phase = ChannelPhase.NARROW
+        # the C/N0 history holds 1-period prompts; the coherent length is
+        # about to change, so restart the estimate on extended prompts only
+        ctl.prompt_hist = []
+        # periods since the last bit edge, counted at the *next* period
+        since_edge = (ctl.total_periods - ctl.bit_phase) % conf.codes_per_bit
+        s = self.state
+        self.state = s._replace(
+            narrow=s.narrow.at[ch].set(True),
+            fll_active=s.fll_active.at[ch].set(False),
+            integ_len=s.integ_len.at[ch].set(
+                int(conf.extend_correlation_symbols)
+            ),
+            integ_count=s.integ_count.at[ch].set(
+                since_edge % int(conf.extend_correlation_symbols)
+            ),
+            acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_samples=s.acc_samples.at[ch].set(0),
+        )
