@@ -27,6 +27,8 @@ import numpy as np
 from gnss_sdr_tpu.tracking.conf import DllPllConf
 from gnss_sdr_tpu.tracking.dll_pll import TrackingState, init_state, track_block
 from gnss_sdr_tpu.tracking.lock_detectors import carrier_lock_detector, cn0_svn_estimator
+from gnss_sdr_tpu.utils.hostpack import make_spec, pack_tree, unpack_tree
+from gnss_sdr_tpu.utils.transfer import fetch
 
 
 class ChannelPhase(IntEnum):
@@ -75,6 +77,38 @@ class Tracker:
         self.ctl = [ChannelControl() for _ in range(c)]
         for ch in self.ctl:
             ch.bit_hist = np.zeros(conf.codes_per_bit, dtype=np.int64)
+
+        # Block outputs leave the device as ONE packed f32 tensor per call
+        # (single d2h round trip; some TPU runtimes cannot transfer
+        # complex64/bool buffers at all — see utils/hostpack.py).
+        t = conf.num_taps
+        shapes = {
+            "prompt": ((), np.complex64),
+            "taps": ((t,), np.complex64),
+            "boundary": ((), np.bool_),
+            "acc_prompt": ((), np.complex64),
+            "acc_samples": ((), np.int32),
+            "carrier_doppler": ((), np.float32),
+            "code_freq": ((), np.float64),
+            "carrier_phase": ((), np.float64),
+            "rem_code_phase": ((), np.float64),
+            "pos_end": ((), np.int32),
+            "n_samples": ((), np.int32),
+        }
+        self._spec = make_spec(
+            {k: np.empty((1, 1) + tr, dt) for k, (tr, dt) in shapes.items()},
+            batch_ndim=2,
+        )
+        spec = self._spec
+
+        @jax.jit
+        def _track_packed(state, window, codes):
+            new_state, outs = track_block(conf, state, window, codes)
+            # raveled so the output buffer has a trivial layout (some remote
+            # runtimes cannot transfer non-default-layout buffers)
+            return new_state, pack_tree(outs._asdict(), spec).ravel()
+
+        self._track_packed = _track_packed
 
     # ----------------------------------------------------------------- setup
     def start_channel(
@@ -165,12 +199,18 @@ class Tracker:
         st = self.state._replace(
             pos=jnp.asarray(np.maximum(rel, 0).astype(np.int32))
         )
-        new_state, outs = track_block(
-            conf, st, jnp.asarray(window, dtype=jnp.complex64),
+        new_state, packed = self._track_packed(
+            st, jnp.asarray(np.asarray(window, dtype=np.complex64)),
             jnp.asarray(self.codes),
         )
         self.state = new_state
-        host = {k: np.asarray(v) for k, v in outs._asdict().items()}
+        flat = fetch(packed)
+        host = unpack_tree(
+            flat.reshape(
+                conf.steps_per_block, conf.max_channels, self._spec.total_lanes
+            ),
+            self._spec,
+        )
         abs_end = host["pos_end"].astype(np.int64) + abs_base
         for i in act:
             self.pos_abs[i] = abs_end[-1, i]
