@@ -1,0 +1,178 @@
+"""Single-point PVT solver: iterated least squares on pseudoranges +
+range-rate LS for velocity (host-side, NumPy f64).
+
+Equivalent in behavior to rtklib's pntpos single-point path
+(rtklib_pntpos.cc estpos/estvel, called from Rtklib_Solver::get_PVT,
+rtklib_solver.cc:1336): satellite position/clock from broadcast ephemeris
+at corrected transmit time, Sagnac (earth-rotation) correction, elevation
+masking, Klobuchar iono + Saastamoinen tropo, clock-bias state, DOPs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gnss_sdr_tpu.pvt.atmosphere import KlobucharParams, klobuchar_delay, tropo_delay
+from gnss_sdr_tpu.pvt.coords import az_el, ecef_to_llh, enu_matrix
+from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT, OMEGA_E, eph_to_pos_vel_clock
+from gnss_sdr_tpu.telemetry.lnav import GpsEphemeris
+
+
+@dataclass
+class ObsEpoch:
+    """One satellite's measurements at a common receiver epoch."""
+
+    prn: int
+    pseudorange_m: float
+    doppler_hz: float = np.nan            # carrier Doppler (Hz, positive closing)
+    carrier_phase_cycles: float = np.nan
+    cn0_dbhz: float = 0.0
+    carrier_freq_hz: float = 1575.42e6
+
+
+@dataclass
+class PvtSolution:
+    valid: bool
+    pos_ecef: np.ndarray
+    vel_ecef: np.ndarray
+    clock_bias_s: float
+    clock_drift_ss: float
+    lat_rad: float = 0.0
+    lon_rad: float = 0.0
+    height_m: float = 0.0
+    gdop: float = 0.0
+    pdop: float = 0.0
+    hdop: float = 0.0
+    vdop: float = 0.0
+    num_sats: int = 0
+    residuals_m: np.ndarray = field(default_factory=lambda: np.zeros(0))
+    tow_s: float = 0.0
+
+
+def solve_pvt(
+    obs: list[ObsEpoch],
+    ephemerides: dict[int, GpsEphemeris],
+    rx_tow_s: float,
+    iono: KlobucharParams | None = None,
+    x0: np.ndarray | None = None,
+    elevation_mask_rad: float = np.deg2rad(5.0),
+    apply_atmosphere: bool = True,
+    max_iter: int = 10,
+) -> PvtSolution:
+    """Iterated least squares; rx_tow_s is the receiver-clock TOW of the
+    epoch (its bias is estimated)."""
+    usable = [o for o in obs if o.prn in ephemerides
+              and np.isfinite(o.pseudorange_m)]
+    no_fix = PvtSolution(False, np.zeros(3), np.zeros(3), 0.0, 0.0)
+    if len(usable) < 4:
+        return no_fix
+
+    x = np.zeros(4) if x0 is None else np.concatenate([x0, [0.0]])
+
+    sat_pos = np.zeros((len(usable), 3))
+    sat_vel = np.zeros((len(usable), 3))
+    sat_clk = np.zeros(len(usable))
+    sat_clk_dot = np.zeros(len(usable))
+
+    for it in range(max_iter):
+        h_rows, resid = [], []
+        mask = np.ones(len(usable), bool)
+        for i, o in enumerate(usable):
+            eph = ephemerides[o.prn]
+            # transmit time from pseudorange, then satellite clock correction
+            t_tx = rx_tow_s - o.pseudorange_m / C_LIGHT
+            p, v, dts, dts_dot = eph_to_pos_vel_clock(eph, t_tx)
+            p, v, dts, dts_dot = eph_to_pos_vel_clock(eph, t_tx - dts)
+            # Sagnac: rotate satellite into the ECEF frame at reception,
+            # using the *geometric* light time (converges with the position
+            # iteration; the pseudorange holds clock errors that would bias
+            # the rotation angle)
+            tau = np.linalg.norm(p - x[:3]) / C_LIGHT
+            theta = OMEGA_E * tau
+            rot = np.array([
+                [np.cos(theta), np.sin(theta), 0.0],
+                [-np.sin(theta), np.cos(theta), 0.0],
+                [0.0, 0.0, 1.0],
+            ])
+            p = rot @ p
+            v = rot @ v
+            sat_pos[i], sat_vel[i] = p, v
+            sat_clk[i], sat_clk_dot[i] = dts + eph.tgd * 0.0, dts_dot
+            # TGD applies to single-frequency L1 pseudoranges:
+            clk_corr = dts - eph.tgd
+
+            rho = np.linalg.norm(p - x[:3])
+            los = (p - x[:3]) / rho
+
+            atmo = 0.0
+            if it >= 2:
+                az, el = az_el(x[:3], p)
+                if el < elevation_mask_rad:
+                    mask[i] = False
+                if apply_atmosphere:
+                    lat, lon, h = ecef_to_llh(x[:3])
+                    atmo = tropo_delay(el, h)
+                    if iono is not None:
+                        atmo += klobuchar_delay(iono, lat, lon, az, el, rx_tow_s)
+
+            pred = rho + x[3] - C_LIGHT * clk_corr + atmo
+            resid.append(o.pseudorange_m - pred)
+            h_rows.append(np.array([-los[0], -los[1], -los[2], 1.0]))
+
+        h_mat = np.asarray(h_rows)[mask]
+        r_vec = np.asarray(resid)[mask]
+        if h_mat.shape[0] < 4:
+            return no_fix
+        dx, *_ = np.linalg.lstsq(h_mat, r_vec, rcond=None)
+        x = x + dx
+        if np.linalg.norm(dx[:3]) < 1e-4 and it >= 3:
+            break
+    else:
+        if np.linalg.norm(dx[:3]) > 100.0:
+            return no_fix
+
+    # ---- velocity from Doppler ---------------------------------------------
+    vel = np.zeros(3)
+    drift = 0.0
+    dop_rows, dop_res = [], []
+    for i, o in enumerate(usable):
+        if not mask[i] or not np.isfinite(o.doppler_hz):
+            continue
+        lam = C_LIGHT / o.carrier_freq_hz
+        rho = np.linalg.norm(sat_pos[i] - x[:3])
+        los = (sat_pos[i] - x[:3]) / rho
+        # measured range rate (positive Doppler = closing range shrinking)
+        rr_meas = -lam * o.doppler_hz + C_LIGHT * sat_clk_dot[i]
+        rr_sat = float(sat_vel[i] @ los)
+        dop_res.append(rr_meas - rr_sat)
+        dop_rows.append(np.array([-los[0], -los[1], -los[2], 1.0]))
+    if len(dop_rows) >= 4:
+        hm = np.asarray(dop_rows)
+        rv = np.asarray(dop_res)
+        sol, *_ = np.linalg.lstsq(hm, rv, rcond=None)
+        vel, drift = sol[:3], sol[3] / C_LIGHT
+
+    # ---- DOPs ---------------------------------------------------------------
+    lat, lon, h = ecef_to_llh(x[:3])
+    q = np.linalg.inv(h_mat.T @ h_mat)
+    gdop = float(np.sqrt(np.trace(q)))
+    pdop = float(np.sqrt(np.trace(q[:3, :3])))
+    e_mat = enu_matrix(lat, lon)
+    q_enu = e_mat @ q[:3, :3] @ e_mat.T
+    hdop = float(np.sqrt(q_enu[0, 0] + q_enu[1, 1]))
+    vdop = float(np.sqrt(q_enu[2, 2]))
+
+    return PvtSolution(
+        valid=True,
+        pos_ecef=x[:3].copy(),
+        vel_ecef=vel,
+        clock_bias_s=float(x[3] / C_LIGHT),
+        clock_drift_ss=float(drift),
+        lat_rad=lat, lon_rad=lon, height_m=h,
+        gdop=gdop, pdop=pdop, hdop=hdop, vdop=vdop,
+        num_sats=int(mask.sum()),
+        residuals_m=r_vec - h_mat @ dx,
+        tow_s=rx_tow_s,
+    )
