@@ -1,0 +1,193 @@
+"""Observables: common-epoch pseudorange / Doppler / carrier-phase formation.
+
+Re-expression of the reference's hybrid_observables_gs
+(observables/gnuradio_blocks/hybrid_observables_gs.cc, SURVEY.md §3.4):
+
+- Tracking emits one record per PRN period (or extended integration) with
+  an exact end-of-period sample stamp. Because tracking locks the code NCO
+  to the signal, one code period corresponds to exactly
+  ``code_period_s`` of *satellite signal time* — so once the telemetry
+  decoder anchors a (TOW, sample stamp) pair at a subframe boundary, the
+  satellite transmit time at every later period stamp is
+  TOW + n_periods * code_period (interp_trk_obs analog, :376-473).
+- At each common receiver-clock epoch (a fixed sample-count cadence, the
+  gnss_sdr_sample_counter analog), every channel's transmit time, Doppler
+  and accumulated carrier phase are linearly interpolated to the epoch
+  sample, and pseudorange = c * (T_rx - t_tx) (compute_pranges, :526-555).
+- The receiver-clock TOW is initialized from the first anchored channel as
+  max(t_tx) + a nominal 68.802 ms transit and then advances strictly by
+  the sample counter; the residual bias is estimated by PVT.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT
+
+NOMINAL_TRANSIT_S = 0.068802
+
+
+@dataclass
+class ChannelObsState:
+    anchored: bool = False
+    t_tx: float = 0.0                 # satellite-clock time at last stamp
+    last_stamp: int = -1
+    # ring of (stamp, t_tx, doppler_hz, carrier_phase_cycles)
+    hist: deque = field(default_factory=lambda: deque(maxlen=64))
+    prn: int = 0
+    cn0_dbhz: float = 0.0
+    # carrier-smoothing (Hatch filter) state
+    sm_pr: float = np.nan
+    sm_phase: float = np.nan
+    sm_count: int = 0
+
+
+@dataclass
+class EpochObservation:
+    channel: int
+    prn: int
+    t_tx_sv: float                    # interpolated transmit time (SV clock)
+    pseudorange_m: float              # raw code pseudorange
+    pseudorange_smoothed_m: float     # carrier-smoothed (Hatch)
+    doppler_hz: float
+    carrier_phase_cycles: float
+    cn0_dbhz: float
+
+
+class ObservablesEngine:
+    def __init__(
+        self,
+        fs: float,
+        code_period_s: float,
+        num_channels: int,
+        code_rate_cps: float = 1.023e6,
+        carrier_freq_hz: float = 1575.42e6,
+        smoothing_epochs: int = 100,
+    ) -> None:
+        self.fs = fs
+        self.code_period_s = code_period_s
+        self.code_rate_cps = code_rate_cps
+        self.wavelength_m = C_LIGHT / carrier_freq_hz
+        self.smoothing_epochs = smoothing_epochs
+        self.ch = [ChannelObsState() for _ in range(num_channels)]
+        self.t_rx_tow: float | None = None    # receiver TOW at rx_ref_stamp
+        self.rx_ref_stamp: int = 0
+
+    # ------------------------------------------------------------- anchoring
+    def anchor(
+        self, ch: int, prn: int, tow_s: float, stamp: int,
+        rem_code_chips: float = 0.0,
+    ) -> None:
+        """Telemetry gave: the period boundary crossed just before `stamp`
+        is satellite signal time `tow_s`; at the integer sample `stamp` the
+        code has advanced `rem_code_chips` past it (sub-chip part of the
+        transmit time — 1 chip is ~300 m of pseudorange)."""
+        st = self.ch[ch]
+        st.prn = prn
+        st.anchored = True
+        st.t_tx = tow_s                    # integer-boundary signal time
+        st.last_stamp = stamp
+        st.hist.clear()
+        st.hist.append(
+            (stamp, tow_s + rem_code_chips / self.code_rate_cps, np.nan, np.nan)
+        )
+        if self.t_rx_tow is None:
+            self.t_rx_tow = tow_s + NOMINAL_TRANSIT_S
+            self.rx_ref_stamp = stamp
+
+    def deanchor(self, ch: int) -> None:
+        self.ch[ch] = ChannelObsState()
+
+    # ------------------------------------------------------ tracking updates
+    def push_periods(
+        self,
+        ch: int,
+        stamps: np.ndarray,           # [K] period-end sample stamps, ordered
+        rem_code_chips: np.ndarray,   # [K] code phase past the boundary
+        dopplers: np.ndarray,         # [K] Hz
+        carrier_phase_rad: np.ndarray,  # [K] accumulated rad at period end
+        cn0_dbhz: float = 0.0,
+    ) -> None:
+        st = self.ch[ch]
+        st.cn0_dbhz = cn0_dbhz
+        if not st.anchored:
+            return
+        for k in range(len(stamps)):
+            s = int(stamps[k])
+            if s <= st.last_stamp:
+                continue
+            # each tracked period advances satellite time by one code period
+            n = round((s - st.last_stamp) / (
+                self.fs * self.code_period_s
+            ))
+            n = max(n, 1)
+            st.t_tx += n * self.code_period_s
+            st.last_stamp = s
+            st.hist.append(
+                (s, st.t_tx + float(rem_code_chips[k]) / self.code_rate_cps,
+                 float(dopplers[k]),
+                 float(carrier_phase_rad[k]) / (2.0 * np.pi))
+            )
+
+    # ---------------------------------------------------------------- epochs
+    def rx_tow_at(self, stamp: float) -> float | None:
+        if self.t_rx_tow is None:
+            return None
+        return self.t_rx_tow + (stamp - self.rx_ref_stamp) / self.fs
+
+    def epoch(self, stamp: int) -> list[EpochObservation]:
+        """Interpolate all anchored channels to the given rx sample stamp."""
+        t_rx = self.rx_tow_at(stamp)
+        if t_rx is None:
+            return []
+        out = []
+        for ci, st in enumerate(self.ch):
+            if not st.anchored or len(st.hist) < 3:
+                continue
+            h = list(st.hist)
+            stamps = np.array([e[0] for e in h], dtype=np.float64)
+            if not (stamps[0] <= stamp <= stamps[-1]):
+                continue
+            i = int(np.searchsorted(stamps, stamp, side="right")) - 1
+            i = min(max(i, 0), len(h) - 2)
+            s0, t0, d0, p0 = h[i]
+            s1, t1, d1, p1 = h[i + 1]
+            if s1 == s0:
+                continue
+            w = (stamp - s0) / (s1 - s0)
+            t_tx = t0 + w * (t1 - t0)
+            dop = d0 + w * (d1 - d0) if np.isfinite(d0) else d1
+            phase = p0 + w * (p1 - p0) if np.isfinite(p0) else np.nan
+            pr = C_LIGHT * (t_rx - t_tx)
+
+            # Hatch carrier smoothing (reference smooth_pseudoranges,
+            # hybrid_observables_gs.cc:557): range change between epochs is
+            # -wavelength * delta(carrier phase); blend in the code
+            # pseudorange with weight 1/N
+            if np.isfinite(phase) and np.isfinite(st.sm_phase):
+                st.sm_count = min(st.sm_count + 1, self.smoothing_epochs)
+                alpha = 1.0 / st.sm_count
+                propagated = st.sm_pr - self.wavelength_m * (
+                    phase - st.sm_phase
+                )
+                st.sm_pr = alpha * pr + (1.0 - alpha) * propagated
+            else:
+                st.sm_pr = pr
+                st.sm_count = 1
+            st.sm_phase = phase
+
+            out.append(EpochObservation(
+                channel=ci,
+                prn=st.prn,
+                t_tx_sv=t_tx,
+                pseudorange_m=pr,
+                pseudorange_smoothed_m=st.sm_pr,
+                doppler_hz=dop,
+                carrier_phase_cycles=phase,
+                cn0_dbhz=st.cn0_dbhz,
+            ))
+        return out

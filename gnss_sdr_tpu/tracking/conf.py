@@ -19,6 +19,7 @@ class DllPllConf:
     # Correlator geometry
     early_late_spacing_chips: float = 0.5
     very_early_late_spacing_chips: float = 0.0   # > 0 enables VEML (5 taps, BOC)
+    interp_code: bool = True                     # linear-interp code replica
 
     # Loop bandwidths / orders (wide = before bit sync, narrow = after)
     pll_bw_hz: float = 35.0
@@ -30,18 +31,29 @@ class DllPllConf:
 
     # FLL pull-in (reference enable_fll_pull_in / fll_bw_hz)
     enable_fll_pull_in: bool = False
-    fll_bw_hz: float = 35.0
+    # 1 ms frequency measurements are noisy (~25 Hz sigma at 45 dB-Hz); the
+    # assist gain w0f^2*T must stay well under 1 or the Doppler state random
+    # walks — keep the FLL band narrow and hand over to the PLL quickly
+    fll_bw_hz: float = 4.0
     pull_in_time_s: float = 0.5
 
     # Extended coherent integration after bit/secondary-code sync
     extend_correlation_symbols: int = 1          # in code periods
     codes_per_bit: int = 20                      # data-bit length in code periods
+    # histogram votes needed to declare bit sync (per-period prompt signs
+    # are near-error-free above ~35 dB-Hz, so few clean votes suffice)
+    bit_sync_transitions: int = 8
 
     # Lock detection (reference cn0_* / max_*_lock_fail knobs)
     cn0_estimation_blocks: int = 20
     cn0_min_dbhz: float = 25.0
-    carrier_lock_threshold: float = 0.85
-    max_lock_fail_blocks: int = 2
+    # NBD/NBP estimates SNR/(SNR+2): 0.75 <=> ~6 dB coherent SNR; pure
+    # noise sits near 0 (the SVN C/N0 estimator alone floors at ~27 dB-Hz
+    # on noise and cannot flag it)
+    carrier_lock_threshold: float = 0.75
+    max_lock_fail_blocks: int = 5
+    # no loss-of-lock verdicts while the loops settle after pull-in
+    lock_warmup_s: float = 1.0
 
     # Batch geometry
     max_channels: int = 12

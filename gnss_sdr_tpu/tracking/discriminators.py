@@ -29,11 +29,23 @@ def fll_atan2(p1: jnp.ndarray, p2: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
     """Frequency discriminator from consecutive prompts, Hz.
 
     cross/dot four-quadrant atan over the interval dt between prompt
-    midpoints (reference fll_four_quadrant_atan).
+    midpoints (reference fll_four_quadrant_atan). Bit-SENSITIVE: only valid
+    once data/secondary-code wipeoff is in place.
     """
     dot = p1.real * p2.real + p1.imag * p2.imag
     cross = p1.real * p2.imag - p1.imag * p2.real
     return jnp.arctan2(cross, dot) / (2.0 * jnp.pi * jnp.maximum(dt, _EPS))
+
+
+def fll_atan(p1: jnp.ndarray, p2: jnp.ndarray, dt: jnp.ndarray) -> jnp.ndarray:
+    """Bit-insensitive two-quadrant frequency discriminator, Hz (reference
+    fll_diff_atan): a nav-bit flip rotates the prompt by ~pi, which the
+    cross/dot ratio cancels — required during pre-bit-sync pull-in."""
+    dot = p1.real * p2.real + p1.imag * p2.imag
+    cross = p1.real * p2.imag - p1.imag * p2.real
+    return jnp.arctan(
+        cross / jnp.where(jnp.abs(dot) < _EPS, _EPS, dot)
+    ) / (2.0 * jnp.pi * jnp.maximum(dt, _EPS))
 
 
 def dll_nelp(e_i, e_q, l_i, l_q, spacing_chips: float) -> jnp.ndarray:

@@ -41,7 +41,7 @@ from gnss_sdr_tpu.tracking.conf import DllPllConf
 from gnss_sdr_tpu.tracking.discriminators import (
     dll_nelp,
     dll_veml,
-    fll_atan2,
+    fll_atan,
     pll_atan2,
     pll_costas_atan,
 )
@@ -158,11 +158,32 @@ def track_block(
             st.rem_code_phase[:, None].astype(jnp.float32)
             + code_step[:, None].astype(jnp.float32) * k[None, :]
         )                                                      # [C, N] chips
-        idx = jnp.floor(cph[:, None, :] + offsets[None, :, None]).astype(jnp.int32)
-        idx = jnp.mod(idx, conf.code_length_chips)             # [C, T, N]
-        ctaps = jnp.take_along_axis(
-            codes[:, None, :], idx, axis=2
-        )                                                      # [C, T, N] f32
+        tap_ph = cph[:, None, :] + offsets[None, :, None]      # [C, T, N]
+        ph_floor = jnp.floor(tap_ph)
+        idx = jnp.mod(ph_floor.astype(jnp.int32), conf.code_length_chips)
+        c0 = jnp.take_along_axis(codes[:, None, :], idx, axis=2)
+        if conf.interp_code:
+            # soft replica: each chip transition ramps linearly over ONE
+            # sample (width = code_step chips), i.e. the sharp code
+            # convolved with the sampling cell. This removes the E-L
+            # discriminator's sub-sample quantization bias (meters of
+            # pseudorange at ~2.5 samples/chip; the reference's
+            # nearest-sample resampler relies on long averaging instead)
+            # at <0.5 dB correlation loss.
+            idx_prev = jnp.mod(idx - 1, conf.code_length_chips)
+            idx_next = jnp.mod(idx + 1, conf.code_length_chips)
+            c_prev = jnp.take_along_axis(codes[:, None, :], idx_prev, axis=2)
+            c_next = jnp.take_along_axis(codes[:, None, :], idx_next, axis=2)
+            frac = tap_ph - ph_floor                           # [C, T, N]
+            w = code_step[:, None, None].astype(jnp.float32)   # chips/sample
+            # ramps centered on the chip boundaries at frac=0 and frac=1
+            ramp_in = jnp.clip(frac / w + 0.5, 0.0, 1.0)
+            ramp_out = jnp.clip((frac - 1.0) / w + 0.5, 0.0, 1.0)
+            ctaps = (
+                c_prev + (c0 - c_prev) * ramp_in + (c_next - c0) * ramp_out
+            )                                                  # [C, T, N]
+        else:
+            ctaps = c0                                         # [C, T, N] f32
 
         # ---- correlate: sum_k xw[c,k] * code[c,t,k] ------------------------
         corr = jnp.sum(xw[:, None, :] * ctaps, axis=-1)        # [C, T] c64
@@ -184,7 +205,7 @@ def track_block(
             pll_atan2(prompt_acc.real, prompt_acc.imag),
             pll_costas_atan(prompt_acc.real, prompt_acc.imag),
         ) / two_pi                                             # cycles
-        freq_err = fll_atan2(st.prev_prompt, prompt_acc, t_int)  # Hz
+        freq_err = fll_atan(st.prev_prompt, prompt_acc, t_int)  # Hz
 
         pll_bw = jnp.where(st.narrow, np.float32(conf.pll_bw_narrow_hz),
                            np.float32(conf.pll_bw_hz))

@@ -247,7 +247,7 @@ class Tracker:
                     ctl.bit_hist[period % conf.codes_per_bit] += 1
                     ctl.transitions += 1
                 ctl.last_sign = signs[s_i]
-            if ctl.transitions >= 16:
+            if ctl.transitions >= conf.bit_sync_transitions:
                 top = int(ctl.bit_hist.argmax())
                 if ctl.bit_hist[top] >= 0.8 * ctl.transitions:
                     ctl.bit_phase = top
@@ -281,9 +281,14 @@ class Tracker:
                 ctl.carrier_lock = carrier_lock_detector(ph)
                 bad = (
                     ctl.cn0_dbhz < conf.cn0_min_dbhz
-                    or ctl.carrier_lock < -conf.carrier_lock_threshold
+                    or ctl.carrier_lock < conf.carrier_lock_threshold
                 )
-                ctl.lock_fail_blocks = ctl.lock_fail_blocks + 1 if bad else 0
+                in_warmup = (
+                    ctl.total_periods * conf.code_period_s < conf.lock_warmup_s
+                )
+                ctl.lock_fail_blocks = (
+                    0 if (in_warmup or not bad) else ctl.lock_fail_blocks + 1
+                )
                 if ctl.lock_fail_blocks >= conf.max_lock_fail_blocks:
                     ctl.phase = ChannelPhase.LOST
                     self.stop_channel(ch)
@@ -302,7 +307,13 @@ class Tracker:
         # periods since the last bit edge, counted at the *next* period
         since_edge = (ctl.total_periods - ctl.bit_phase) % conf.codes_per_bit
         s = self.state
+        # keep the PLL's frequency state (i1 = Doppler estimate) but zero the
+        # frequency-rate integrator: its wide-band 1 ms random walk (tens of
+        # Hz/s) would otherwise ride into the narrow loop as a Doppler ramp
+        # it cannot unwind before the Costas loop slips
+        pll_reset = s.pll_state.at[ch, 1].set(0.0)
         self.state = s._replace(
+            pll_state=pll_reset,
             narrow=s.narrow.at[ch].set(True),
             fll_active=s.fll_active.at[ch].set(False),
             integ_len=s.integ_len.at[ch].set(

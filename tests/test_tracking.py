@@ -32,7 +32,6 @@ def _make_conf(**overrides):
         pll_bw_hz=35.0,
         dll_bw_hz=2.0,
         enable_fll_pull_in=True,
-        fll_bw_hz=15.0,
         pull_in_time_s=0.25,
         pll_bw_narrow_hz=7.5,
         dll_bw_narrow_hz=0.75,
@@ -158,7 +157,7 @@ def test_nav_bits_recovered(scenario):
 
 
 def test_loss_of_lock_detected():
-    conf = _make_conf(max_lock_fail_blocks=2)
+    conf = _make_conf(max_lock_fail_blocks=2, lock_warmup_s=0.2)
     tracker = Tracker(conf, gps_l1_ca_code_table())
     rng = np.random.default_rng(3)
     n = int(FS * 1.0)
