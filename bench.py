@@ -47,28 +47,33 @@ def main() -> None:
         carrier_doppler=jnp.linspace(-4000, 4000, channels).astype(jnp.float32),
     )
     rng = np.random.default_rng(0)
+    # device arrays must be jit *arguments*, not closure constants (this
+    # runtime cannot transfer committed buffers back to host for embedding)
     window = jnp.asarray(
         (rng.normal(size=conf.window_samples)
          + 1j * rng.normal(size=conf.window_samples)).astype(np.complex64)
     )
     codes = jnp.asarray(gps_l1_ca_code_table()[np.arange(channels) % 32])
+    pos0 = state.pos
 
-    def run_once(st):
-        new_state, outs = track_block(conf, st, window, codes)
+    def run_once(st, window, codes, pos0):
+        new_state, outs = track_block(
+            conf, st._replace(pos=pos0), window, codes
+        )
         # keep outputs tiny on device; return only what forces the work
         return new_state, outs.n_samples.astype(jnp.int32)
 
     run = jax.jit(run_once)
 
     # compile + warmup
-    st, n = run(state)
+    st, n = run(state, window, codes, pos0)
     jax.block_until_ready(n)
 
     iters = 40
     t0 = time.perf_counter()
     total_samples = 0
     for _ in range(iters):
-        st, n = run(st._replace(pos=state.pos))   # rewind window pointer
+        st, n = run(st, window, codes, pos0)      # rewind window pointer
     st = jax.block_until_ready(st)
     dt = time.perf_counter() - t0
     # samples consumed: steps * ~samples_per_code per channel per call
@@ -88,6 +93,9 @@ if __name__ == "__main__":
     try:
         main()
     except Exception as e:  # never leave the driver without a JSON line
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
         print(json.dumps({
             "metric": "tracking_throughput_32ch",
             "value": 0.0,
