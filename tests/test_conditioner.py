@@ -88,9 +88,11 @@ def test_notch_removes_cw_keeps_noise():
 
 
 def test_notch_leaves_clean_signal_alone():
+    # the max of N exponential bin powers is ~ln(N)~8x the mean, so a
+    # threshold above that leaves pure noise untouched
     n = 1 << 12
     noise = (RNG.normal(size=n) + 1j * RNG.normal(size=n)).astype(np.complex64)
-    y = np.asarray(notch_filter_block(jnp.asarray(noise)))
+    y = np.asarray(notch_filter_block(jnp.asarray(noise), pfa_ratio=40.0))
     np.testing.assert_allclose(y, noise, atol=1e-3)
 
 
