@@ -1,0 +1,338 @@
+"""String-keyed block factory: reference config strings -> framework objects.
+
+Reference: src/core/receiver/gnss_block_factory.{h,cc} (GetSignalSource,
+GetSignalConditioner, GetChannels, GetObservables, GetPVT, GetBlock,
+gnss_block_factory.h:55-95). Roles are fixed and wired by name from an INI
+config; implementations are pluggable per role via these strings.
+
+Architectural difference, by design: the reference instantiates one block
+*object per channel*; here acquisition/tracking are *batched engines* over a
+channel axis (SURVEY.md §2.4 P2), so for those roles the factory returns the
+engine configuration (AcqConfig / DllPllConf) resolved from the same config
+properties the reference adapters read (e.g.
+``Acquisition_1C.doppler_max``, ``Tracking_1C.pll_bw_hz``), and the
+``Receiver`` builds the single batched engine from them.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from gnss_sdr_tpu.acquisition import AcqConfig
+from gnss_sdr_tpu.conditioner import (
+    ConditionerConfig,
+    PassThrough,
+    SignalConditioner,
+)
+from gnss_sdr_tpu.config.configuration import ConfigurationInterface
+from gnss_sdr_tpu.constants import gps_l1_ca as GPS_L1
+from gnss_sdr_tpu.io import (
+    FifoSignalSource,
+    FileMeta,
+    FileSignalSource,
+    MultichannelFileSignalSource,
+    UdpSignalSource,
+)
+from gnss_sdr_tpu.outputs import (
+    GeoJsonPrinter,
+    GpxPrinter,
+    KmlPrinter,
+    NmeaPrinter,
+    RinexNavWriter,
+    RinexObsWriter,
+)
+from gnss_sdr_tpu.tracking import DllPllConf
+
+# implementation-string tables (mirroring gnss_block_factory.cc GetBlock)
+_ITEM_TYPE_MAP = {
+    # reference item_type -> io format key
+    "byte": "byte",
+    "ibyte": "ibyte",
+    "cbyte": "ibyte",
+    "short": "short",
+    "ishort": "ishort",
+    "cshort": "ishort",
+    "float": "float",
+    "gr_complex": "gr_complex",
+}
+
+
+class UnknownImplementation(ValueError):
+    pass
+
+
+# ------------------------------------------------------------- signal source
+def get_signal_source(cfg: ConfigurationInterface, role: str = "SignalSource"):
+    impl = cfg.property(f"{role}.implementation", "File_Signal_Source")
+    fs = cfg.property(f"{role}.sampling_frequency", 4_000_000.0)
+    item_type = cfg.property(f"{role}.item_type", "ishort")
+    fmt = _ITEM_TYPE_MAP.get(item_type, item_type)
+
+    if impl in ("File_Signal_Source", "File_Timestamp_Signal_Source"):
+        meta = FileMeta(
+            path=cfg.property(f"{role}.filename", ""),
+            format=fmt,
+            fs=fs,
+            offset_bytes=cfg.property(f"{role}.bytes_to_skip", 0),
+            total_samples=cfg.property(f"{role}.samples", 0) or None,
+            repeat=cfg.property(f"{role}.repeat", False),
+        )
+        return FileSignalSource(meta)
+    if impl == "Multichannel_File_Signal_Source":
+        n = cfg.property(f"{role}.n_channels", 2)
+        metas = [
+            FileMeta(
+                path=cfg.property(f"{role}.filename{i}", ""),
+                format=fmt,
+                fs=fs,
+            )
+            for i in range(n)
+        ]
+        return MultichannelFileSignalSource(metas)
+    if impl in ("Two_Bit_Cpx_File_Signal_Source",
+                "Two_Bit_Packed_File_Signal_Source"):
+        meta = FileMeta(
+            path=cfg.property(f"{role}.filename", ""), format="2bit_cpx", fs=fs
+        )
+        return FileSignalSource(meta)
+    if impl == "Four_Bit_Cpx_File_Signal_Source":
+        meta = FileMeta(
+            path=cfg.property(f"{role}.filename", ""), format="4bit_cpx", fs=fs
+        )
+        return FileSignalSource(meta)
+    if impl == "Nsr_File_Signal_Source":
+        meta = FileMeta(
+            path=cfg.property(f"{role}.filename", ""), format="2bit_real", fs=fs
+        )
+        return FileSignalSource(meta)
+    if impl == "Fifo_Signal_Source":
+        return FifoSignalSource(
+            cfg.property(f"{role}.filename", ""), fmt=fmt, fs=fs
+        )
+    if impl == "Custom_UDP_Signal_Source":
+        return UdpSignalSource(
+            address=cfg.property(f"{role}.origin_address", "127.0.0.1"),
+            port=cfg.property(f"{role}.port", 1234),
+            fmt=fmt,
+            fs=fs,
+        )
+    raise UnknownImplementation(f"{role}.implementation={impl!r}")
+
+
+# -------------------------------------------------------- signal conditioner
+def get_signal_conditioner(cfg: ConfigurationInterface,
+                           role: str = "SignalConditioner"):
+    impl = cfg.property(f"{role}.implementation", "Signal_Conditioner")
+    if impl == "Pass_Through":
+        return PassThrough()
+    if impl not in ("Signal_Conditioner", "Array_Signal_Conditioner"):
+        raise UnknownImplementation(f"{role}.implementation={impl!r}")
+
+    fs_in = cfg.property("SignalSource.sampling_frequency", 4_000_000.0)
+    adapter_impl = cfg.property("DataTypeAdapter.implementation", "Pass_Through")
+    adapter_map = {
+        "Ibyte_To_Complex": "ibyte",
+        "Ibyte_To_Cbyte": "ibyte",
+        "Ibyte_To_Cshort": "ibyte",
+        "Ishort_To_Complex": "ishort",
+        "Ishort_To_Cshort": "ishort",
+        "Cshort_To_Gr_Complex": "cshort",
+        "Byte_To_Short": "byte",
+        "Pass_Through": "passthrough",
+    }
+    if adapter_impl not in adapter_map:
+        raise UnknownImplementation(
+            f"DataTypeAdapter.implementation={adapter_impl!r}")
+
+    filt_impl = cfg.property("InputFilter.implementation", "Pass_Through")
+    if_freq = 0.0
+    taps = 0
+    band = None
+    decim = 1
+    notch = False
+    blanking = False
+    if filt_impl in ("Fir_Filter", "Freq_Xlating_Fir_Filter"):
+        taps = cfg.property("InputFilter.number_of_taps", 5) * 13  # ~65 default
+        if cfg.has_property("InputFilter.taps_length"):
+            taps = cfg.property("InputFilter.taps_length", 65)
+        band_end = cfg.property("InputFilter.band1_end", 0.45) * fs_in
+        band = (0.0, band_end)
+        if filt_impl == "Freq_Xlating_Fir_Filter":
+            if_freq = cfg.property("InputFilter.IF", 0.0)
+            decim = cfg.property("InputFilter.decimation_factor", 1)
+    elif filt_impl in ("Notch_Filter", "Notch_Filter_Lite"):
+        notch = True
+    elif filt_impl == "Pulse_Blanking_Filter":
+        blanking = True
+    elif filt_impl != "Pass_Through":
+        raise UnknownImplementation(f"InputFilter.implementation={filt_impl!r}")
+
+    res_impl = cfg.property("Resampler.implementation", "Pass_Through")
+    fs_out = None
+    if res_impl in ("Direct_Resampler", "Mmse_Resampler"):
+        fs_out = cfg.property("Resampler.sample_freq_out", fs_in)
+        if fs_out == fs_in / decim:
+            fs_out = None
+    elif res_impl != "Pass_Through":
+        raise UnknownImplementation(f"Resampler.implementation={res_impl!r}")
+
+    return SignalConditioner(ConditionerConfig(
+        input_format=adapter_map[adapter_impl],
+        fs_in=fs_in,
+        fs_out=fs_out,
+        if_freq_hz=if_freq,
+        fir_taps=taps,
+        fir_band_hz=band,
+        decimation=decim,
+        enable_notch=notch,
+        enable_pulse_blanking=blanking,
+    ))
+
+
+# ---------------------------------------------------------- acquisition conf
+_ACQ_IMPLS = {
+    "GPS_L1_CA_PCPS_Acquisition",
+    "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
+    "Galileo_E1_PCPS_Ambiguous_Acquisition",
+}
+
+
+def get_acquisition_conf(
+    cfg: ConfigurationInterface, role: str = "Acquisition_1C", fs: float = 0.0
+) -> AcqConfig:
+    impl = cfg.property(f"{role}.implementation", "GPS_L1_CA_PCPS_Acquisition")
+    if impl not in _ACQ_IMPLS:
+        raise UnknownImplementation(f"{role}.implementation={impl!r}")
+    galileo = impl.startswith("Galileo_E1")
+    if galileo:
+        from gnss_sdr_tpu.constants import galileo_e1 as GAL
+        code_len, code_rate = GAL.CODE_LENGTH_CHIPS, GAL.CODE_RATE_CPS
+    else:
+        code_len, code_rate = GPS_L1.CODE_LENGTH_CHIPS, GPS_L1.CODE_RATE_CPS
+    fs = fs or cfg.property("GNSS-SDR.internal_fs_sps", 2_600_000.0)
+    coh_ms = cfg.property(f"{role}.coherent_integration_time_ms", 4 if galileo else 1)
+    code_ms = 1000.0 * code_len / code_rate
+    return AcqConfig(
+        fs=fs,
+        code_length_chips=code_len,
+        code_rate_cps=code_rate,
+        doppler_max_hz=float(cfg.property(f"{role}.doppler_max", 5000)),
+        doppler_step_hz=float(cfg.property(f"{role}.doppler_step", 250)),
+        coherent_integration_periods=max(int(round(coh_ms / code_ms)), 1),
+        max_dwells=cfg.property(f"{role}.max_dwells", 1),
+        bit_transition_flag=cfg.property(f"{role}.bit_transition_flag", False),
+        threshold=cfg.property(f"{role}.threshold", 0.0),
+        pfa=cfg.property(f"{role}.pfa", 1e-3),
+        make_two_steps=cfg.property(f"{role}.make_two_steps", False),
+        doppler_step2_hz=float(cfg.property(f"{role}.second_doppler_step", 125)),
+        num_doppler_bins_step2=cfg.property(f"{role}.second_nbins", 4),
+    )
+
+
+# ------------------------------------------------------------- tracking conf
+_TRK_IMPLS = {
+    "GPS_L1_CA_DLL_PLL_Tracking",
+    "GPS_L1_CA_KF_Tracking",
+    "Galileo_E1_DLL_PLL_VEML_Tracking",
+}
+
+
+def get_tracking_conf(
+    cfg: ConfigurationInterface,
+    role: str = "Tracking_1C",
+    fs: float = 0.0,
+    max_channels: int = 8,
+) -> DllPllConf:
+    impl = cfg.property(f"{role}.implementation", "GPS_L1_CA_DLL_PLL_Tracking")
+    if impl not in _TRK_IMPLS:
+        raise UnknownImplementation(f"{role}.implementation={impl!r}")
+    veml = "VEML" in impl
+    if veml:
+        from gnss_sdr_tpu.constants import galileo_e1 as GAL
+        code_len, code_rate, freq = (
+            GAL.CODE_LENGTH_CHIPS, GAL.CODE_RATE_CPS, GAL.FREQ_HZ)
+    else:
+        code_len, code_rate, freq = (
+            GPS_L1.CODE_LENGTH_CHIPS, GPS_L1.CODE_RATE_CPS, GPS_L1.FREQ_HZ)
+    fs = fs or cfg.property("GNSS-SDR.internal_fs_sps", 2_600_000.0)
+    return DllPllConf(
+        fs=fs,
+        code_length_chips=code_len,
+        code_rate_cps=code_rate,
+        carrier_freq_hz=freq,
+        pll_bw_hz=cfg.property(f"{role}.pll_bw_hz", 35.0),
+        dll_bw_hz=cfg.property(f"{role}.dll_bw_hz", 2.0),
+        pll_bw_narrow_hz=cfg.property(f"{role}.pll_bw_narrow_hz", 7.5),
+        dll_bw_narrow_hz=cfg.property(f"{role}.dll_bw_narrow_hz", 0.75),
+        early_late_spacing_chips=cfg.property(
+            f"{role}.early_late_space_chips", 0.15 if veml else 0.5),
+        very_early_late_spacing_chips=cfg.property(
+            f"{role}.very_early_late_space_chips", 0.6 if veml else 0.0),
+        enable_fll_pull_in=cfg.property(f"{role}.enable_fll_pull_in", False),
+        fll_bw_hz=cfg.property(f"{role}.fll_bw_hz", 4.0),
+        extend_correlation_symbols=cfg.property(
+            f"{role}.extend_correlation_symbols", 1),
+        max_channels=max_channels,
+    )
+
+
+# --------------------------------------------------------------- pvt writers
+@dataclass
+class PvtOutputs:
+    nmea: NmeaPrinter | None = None
+    kml: KmlPrinter | None = None
+    gpx: GpxPrinter | None = None
+    geojson: GeoJsonPrinter | None = None
+    rinex_obs: RinexObsWriter | None = None
+    rinex_nav: RinexNavWriter | None = None
+
+    def print_position(self, sol) -> None:
+        for w in (self.nmea, self.kml, self.gpx, self.geojson):
+            if w is not None:
+                w.print_position(sol)
+
+    def close(self) -> None:
+        for w in (self.nmea, self.kml, self.gpx, self.geojson,
+                  self.rinex_obs, self.rinex_nav):
+            if w is not None:
+                w.close()
+
+
+def get_pvt_outputs(cfg: ConfigurationInterface, week: int = 0,
+                    role: str = "PVT") -> PvtOutputs:
+    impl = cfg.property(f"{role}.implementation", "RTKLIB_PVT")
+    if impl != "RTKLIB_PVT":
+        raise UnknownImplementation(f"{role}.implementation={impl!r}")
+    out = PvtOutputs()
+    if cfg.property(f"{role}.flag_nmea_tty_port", False) or cfg.property(
+            f"{role}.nmea_dump_filename", ""):
+        out.nmea = NmeaPrinter(
+            cfg.property(f"{role}.nmea_dump_filename", "nmea.txt"), week=week)
+    if cfg.property(f"{role}.kml_output_enabled", False):
+        out.kml = KmlPrinter(cfg.property(f"{role}.kml_dump_filename", "pvt.kml"))
+    if cfg.property(f"{role}.gpx_output_enabled", False):
+        out.gpx = GpxPrinter(
+            cfg.property(f"{role}.gpx_dump_filename", "pvt.gpx"), week=week)
+    if cfg.property(f"{role}.geojson_output_enabled", False):
+        out.geojson = GeoJsonPrinter(
+            cfg.property(f"{role}.geojson_dump_filename", "pvt.geojson"))
+    if cfg.property(f"{role}.rinex_output_enabled", False):
+        out.rinex_obs = RinexObsWriter(
+            cfg.property(f"{role}.rinex_obs_filename", "obs.rnx"), week=week)
+        out.rinex_nav = RinexNavWriter(
+            cfg.property(f"{role}.rinex_nav_filename", "nav.rnx"))
+    return out
+
+
+# ------------------------------------------------------------------ channels
+def get_channel_counts(cfg: ConfigurationInterface) -> dict[str, int]:
+    """Per-signal channel counts (Channels_1C.count etc.,
+    gnss_block_factory.cc GetChannels grouping)."""
+    out = {}
+    for sig in ("1C", "1B", "2S", "L5", "5X", "1G", "2G", "B1", "B3"):
+        n = cfg.property(f"Channels_{sig}.count", 0)
+        if n:
+            out[sig] = n
+    if not out:
+        out["1C"] = cfg.property("Channels.count", 8)
+    return out

@@ -1,0 +1,179 @@
+"""Block factory + INI-driven receiver tests.
+
+Mirrors tests/unit-tests/control-plane/gnss_block_factory_test.cc (the
+factory returns the right object/config for each implementation string) and
+control_thread_test.cc / gnss_flowgraph_test.cc (a full receiver built from
+a configuration runs over a capture).
+"""
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.acquisition import AcqConfig
+from gnss_sdr_tpu.conditioner import PassThrough, SignalConditioner
+from gnss_sdr_tpu.config.configuration import FileConfiguration, InMemoryConfiguration
+from gnss_sdr_tpu.io import FileSignalSource, UdpSignalSource, encode_samples
+from gnss_sdr_tpu.io.sources import FifoSignalSource
+from gnss_sdr_tpu.receiver.factory import (
+    UnknownImplementation,
+    get_acquisition_conf,
+    get_channel_counts,
+    get_pvt_outputs,
+    get_signal_conditioner,
+    get_signal_source,
+    get_tracking_conf,
+)
+from gnss_sdr_tpu.tracking import DllPllConf
+
+
+def _cfg(props):
+    return InMemoryConfiguration(props)
+
+
+def test_file_source_from_config(tmp_path):
+    p = tmp_path / "cap.dat"
+    x = (np.arange(100) + 0j).astype(np.complex64)
+    p.write_bytes(encode_samples(x, "ishort"))
+    cfg = _cfg({
+        "SignalSource.implementation": "File_Signal_Source",
+        "SignalSource.filename": str(p),
+        "SignalSource.item_type": "ishort",
+        "SignalSource.sampling_frequency": 4000000,
+        "SignalSource.samples": 60,
+    })
+    src = get_signal_source(cfg)
+    assert isinstance(src, FileSignalSource)
+    assert src.fs == 4e6
+    out = src.read(1000)
+    assert len(out) == 60
+
+
+def test_packed_source_impls(tmp_path):
+    p = tmp_path / "cap.dat"
+    p.write_bytes(bytes(100))
+    for impl, fmt in [
+        ("Two_Bit_Cpx_File_Signal_Source", "2bit_cpx"),
+        ("Four_Bit_Cpx_File_Signal_Source", "4bit_cpx"),
+        ("Nsr_File_Signal_Source", "2bit_real"),
+    ]:
+        cfg = _cfg({
+            "SignalSource.implementation": impl,
+            "SignalSource.filename": str(p),
+        })
+        src = get_signal_source(cfg)
+        assert src.meta.format == fmt
+
+
+def test_unknown_source_impl():
+    with pytest.raises(UnknownImplementation):
+        get_signal_source(_cfg({"SignalSource.implementation": "Warp_Drive"}))
+
+
+def test_conditioner_from_config():
+    cfg = _cfg({
+        "SignalConditioner.implementation": "Signal_Conditioner",
+        "SignalSource.sampling_frequency": 8000000,
+        "DataTypeAdapter.implementation": "Ibyte_To_Complex",
+        "InputFilter.implementation": "Freq_Xlating_Fir_Filter",
+        "InputFilter.IF": 2000000,
+        "InputFilter.decimation_factor": 2,
+        "InputFilter.taps_length": 33,
+        "Resampler.implementation": "Pass_Through",
+    })
+    cond = get_signal_conditioner(cfg)
+    assert isinstance(cond, SignalConditioner)
+    assert cond.cfg.if_freq_hz == 2e6
+    assert cond.cfg.decimation == 2
+    assert cond.cfg.input_format == "ibyte"
+    assert cond.cfg.fs_final == 4e6
+
+
+def test_conditioner_passthrough():
+    cond = get_signal_conditioner(
+        _cfg({"SignalConditioner.implementation": "Pass_Through"}))
+    assert isinstance(cond, PassThrough)
+
+
+def test_acquisition_conf_from_config():
+    cfg = _cfg({
+        "GNSS-SDR.internal_fs_sps": 2600000,
+        "Acquisition_1C.implementation": "GPS_L1_CA_PCPS_Acquisition",
+        "Acquisition_1C.doppler_max": 6000,
+        "Acquisition_1C.doppler_step": 500,
+        "Acquisition_1C.max_dwells": 2,
+        "Acquisition_1C.pfa": 0.001,
+        "Acquisition_1C.bit_transition_flag": "true",
+    })
+    conf = get_acquisition_conf(cfg)
+    assert isinstance(conf, AcqConfig)
+    assert conf.doppler_max_hz == 6000
+    assert conf.max_dwells == 2
+    assert conf.bit_transition_flag
+    assert conf.samples_per_code == 2600
+
+
+def test_tracking_conf_from_config():
+    cfg = _cfg({
+        "GNSS-SDR.internal_fs_sps": 2600000,
+        "Tracking_1C.implementation": "GPS_L1_CA_DLL_PLL_Tracking",
+        "Tracking_1C.pll_bw_hz": 25.0,
+        "Tracking_1C.dll_bw_hz": 1.5,
+        "Tracking_1C.extend_correlation_symbols": 10,
+    })
+    conf = get_tracking_conf(cfg, max_channels=6)
+    assert isinstance(conf, DllPllConf)
+    assert conf.pll_bw_hz == 25.0
+    assert conf.extend_correlation_symbols == 10
+    assert conf.num_taps == 3
+    assert conf.max_channels == 6
+
+
+def test_tracking_conf_galileo_veml():
+    cfg = _cfg({
+        "Tracking_1B.implementation": "Galileo_E1_DLL_PLL_VEML_Tracking",
+    })
+    conf = get_tracking_conf(cfg, role="Tracking_1B")
+    assert conf.num_taps == 5
+    assert conf.code_length_chips == 4092
+
+
+def test_channel_counts():
+    assert get_channel_counts(_cfg({"Channels_1C.count": 6})) == {"1C": 6}
+    assert get_channel_counts(
+        _cfg({"Channels_1C.count": 4, "Channels_1B.count": 4})
+    ) == {"1C": 4, "1B": 4}
+    assert get_channel_counts(_cfg({})) == {"1C": 8}
+
+
+def test_pvt_outputs_from_config(tmp_path):
+    cfg = _cfg({
+        "PVT.implementation": "RTKLIB_PVT",
+        "PVT.kml_output_enabled": "true",
+        "PVT.kml_dump_filename": str(tmp_path / "o.kml"),
+        "PVT.gpx_output_enabled": "false",
+        "PVT.rinex_output_enabled": "true",
+        "PVT.rinex_obs_filename": str(tmp_path / "o.rnx"),
+        "PVT.rinex_nav_filename": str(tmp_path / "n.rnx"),
+    })
+    out = get_pvt_outputs(cfg, week=2340)
+    assert out.kml is not None
+    assert out.gpx is None
+    assert out.rinex_obs is not None
+    out.close()
+
+
+def test_file_configuration_reference_dialect(tmp_path):
+    conf = tmp_path / "rx.conf"
+    conf.write_text(
+        """
+[GNSS-SDR]
+GNSS-SDR.internal_fs_sps=2600000
+SignalSource.implementation=File_Signal_Source
+SignalSource.item_type=ibyte ; inline comment
+Channels_1C.count=8
+Acquisition_1C.doppler_max=5000
+""")
+    cfg = FileConfiguration(conf)
+    assert cfg.property("GNSS-SDR.internal_fs_sps", 0) == 2600000
+    assert cfg.property("SignalSource.item_type", "") == "ibyte"
+    assert get_channel_counts(cfg) == {"1C": 8}
