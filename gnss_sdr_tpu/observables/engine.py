@@ -39,7 +39,13 @@ class ChannelObsState:
     # ring of (stamp, t_tx, doppler_hz, carrier_phase_cycles)
     hist: deque = field(default_factory=lambda: deque(maxlen=64))
     prn: int = 0
+    system: str = "G"
     cn0_dbhz: float = 0.0
+    # per-channel signal geometry (multi-constellation: one engine serves
+    # mixed channels; these default from the engine-level values)
+    code_period_s: float = 0.0
+    code_rate_cps: float = 0.0
+    wavelength_m: float = 0.0
     # carrier-smoothing (Hatch filter) state
     sm_pr: float = np.nan
     sm_phase: float = np.nan
@@ -56,6 +62,7 @@ class EpochObservation:
     doppler_hz: float
     carrier_phase_cycles: float
     cn0_dbhz: float
+    system: str = "G"
 
 
 class ObservablesEngine:
@@ -74,8 +81,29 @@ class ObservablesEngine:
         self.wavelength_m = C_LIGHT / carrier_freq_hz
         self.smoothing_epochs = smoothing_epochs
         self.ch = [ChannelObsState() for _ in range(num_channels)]
+        for st in self.ch:
+            st.code_period_s = code_period_s
+            st.code_rate_cps = code_rate_cps
+            st.wavelength_m = self.wavelength_m
         self.t_rx_tow: float | None = None    # receiver TOW at rx_ref_stamp
         self.rx_ref_stamp: int = 0
+
+    def configure_channel(
+        self,
+        ch: int,
+        code_period_s: float,
+        code_rate_cps: float,
+        carrier_freq_hz: float,
+        system: str = "G",
+    ) -> None:
+        """Set one channel's signal geometry (multi-constellation mixing;
+        the reference's hybrid_observables reads these off each channel's
+        Gnss_Synchro)."""
+        st = self.ch[ch]
+        st.code_period_s = code_period_s
+        st.code_rate_cps = code_rate_cps
+        st.wavelength_m = C_LIGHT / carrier_freq_hz
+        st.system = system
 
     # ------------------------------------------------------------- anchoring
     def anchor(
@@ -93,7 +121,7 @@ class ObservablesEngine:
         st.last_stamp = stamp
         st.hist.clear()
         st.hist.append(
-            (stamp, tow_s + rem_code_chips / self.code_rate_cps, np.nan, np.nan)
+            (stamp, tow_s + rem_code_chips / st.code_rate_cps, np.nan, np.nan)
         )
         if self.t_rx_tow is None:
             self.t_rx_tow = tow_s + NOMINAL_TRANSIT_S
@@ -122,13 +150,13 @@ class ObservablesEngine:
                 continue
             # each tracked period advances satellite time by one code period
             n = round((s - st.last_stamp) / (
-                self.fs * self.code_period_s
+                self.fs * st.code_period_s
             ))
             n = max(n, 1)
-            st.t_tx += n * self.code_period_s
+            st.t_tx += n * st.code_period_s
             st.last_stamp = s
             st.hist.append(
-                (s, st.t_tx + float(rem_code_chips[k]) / self.code_rate_cps,
+                (s, st.t_tx + float(rem_code_chips[k]) / st.code_rate_cps,
                  float(dopplers[k]),
                  float(carrier_phase_rad[k]) / (2.0 * np.pi))
             )
@@ -171,7 +199,7 @@ class ObservablesEngine:
             if np.isfinite(phase) and np.isfinite(st.sm_phase):
                 st.sm_count = min(st.sm_count + 1, self.smoothing_epochs)
                 alpha = 1.0 / st.sm_count
-                propagated = st.sm_pr - self.wavelength_m * (
+                propagated = st.sm_pr - st.wavelength_m * (
                     phase - st.sm_phase
                 )
                 st.sm_pr = alpha * pr + (1.0 - alpha) * propagated
@@ -189,5 +217,6 @@ class ObservablesEngine:
                 doppler_hz=dop,
                 carrier_phase_cycles=phase,
                 cn0_dbhz=st.cn0_dbhz,
+                system=st.system,
             ))
         return out

@@ -12,6 +12,7 @@ import numpy as np
 from gnss_sdr_tpu.telemetry.lnav import GpsEphemeris
 
 GM_EARTH = 3.986005e14          # WGS-84 mu, m^3/s^2 (GPS ICD value)
+GM_GAL = 3.986004418e14         # GTRF mu (Galileo OS SIS ICD §5.1.1)
 OMEGA_E = 7.2921151467e-5       # earth rotation rate, rad/s
 C_LIGHT = 299792458.0
 F_REL = -4.442807633e-10        # relativistic clock factor, s/sqrt(m)
@@ -38,7 +39,8 @@ def eph_to_pos_vel_clock(
     per-frequency by the solver, as rtklib does).
     """
     a = eph.sqrt_a * eph.sqrt_a
-    n0 = np.sqrt(GM_EARTH / a**3)
+    gm = GM_GAL if getattr(eph, "system", "G") == "E" else GM_EARTH
+    n0 = np.sqrt(gm / a**3)
     tk = time_diff(t_sv, eph.toe)
     n = n0 + eph.delta_n
     mk = eph.m0 + n * tk

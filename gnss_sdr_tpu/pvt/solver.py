@@ -30,6 +30,7 @@ class ObsEpoch:
     carrier_phase_cycles: float = np.nan
     cn0_dbhz: float = 0.0
     carrier_freq_hz: float = 1575.42e6
+    system: str = "G"                     # 'G' GPS, 'E' Galileo, ...
 
 
 @dataclass
@@ -49,6 +50,9 @@ class PvtSolution:
     num_sats: int = 0
     residuals_m: np.ndarray = field(default_factory=lambda: np.zeros(0))
     tow_s: float = 0.0
+    # inter-system clock biases [m] vs the reference system (GGTO analog;
+    # rtklib estimates these as extra states in estpos)
+    isb_m: dict = field(default_factory=dict)
 
 
 def solve_pvt(
@@ -62,14 +66,30 @@ def solve_pvt(
     max_iter: int = 10,
 ) -> PvtSolution:
     """Iterated least squares; rx_tow_s is the receiver-clock TOW of the
-    epoch (its bias is estimated)."""
-    usable = [o for o in obs if o.prn in ephemerides
+    epoch (its bias is estimated). Multi-constellation epochs (mixed
+    ``ObsEpoch.system``) estimate one inter-system bias per extra system
+    (rtklib estpos's GLO/GAL time-offset states).
+
+    ``ephemerides`` may be keyed by bare PRN (single-system) or by
+    (system, prn) tuples.
+    """
+    def _eph_for(o):
+        return ephemerides.get((o.system, o.prn)) or ephemerides.get(o.prn)
+
+    usable = [o for o in obs if _eph_for(o) is not None
               and np.isfinite(o.pseudorange_m)]
     no_fix = PvtSolution(False, np.zeros(3), np.zeros(3), 0.0, 0.0)
     if len(usable) < 4:
         return no_fix
 
-    x = np.zeros(4) if x0 is None else np.concatenate([x0, [0.0]])
+    systems = sorted({o.system for o in usable})
+    extra = systems[1:]                    # ISB states vs systems[0]
+    isb_col = {s: 4 + k for k, s in enumerate(extra)}
+    n_par = 4 + len(extra)
+
+    x = np.zeros(n_par)
+    if x0 is not None:
+        x[:3] = x0
 
     sat_pos = np.zeros((len(usable), 3))
     sat_vel = np.zeros((len(usable), 3))
@@ -80,7 +100,7 @@ def solve_pvt(
         h_rows, resid = [], []
         mask = np.ones(len(usable), bool)
         for i, o in enumerate(usable):
-            eph = ephemerides[o.prn]
+            eph = _eph_for(o)
             # transmit time from pseudorange, then satellite clock correction
             t_tx = rx_tow_s - o.pseudorange_m / C_LIGHT
             p, v, dts, dts_dot = eph_to_pos_vel_clock(eph, t_tx)
@@ -118,12 +138,18 @@ def solve_pvt(
                         atmo += klobuchar_delay(iono, lat, lon, az, el, rx_tow_s)
 
             pred = rho + x[3] - C_LIGHT * clk_corr + atmo
+            row = np.zeros(n_par)
+            row[:3] = -los
+            row[3] = 1.0
+            if o.system in isb_col:
+                pred += x[isb_col[o.system]]
+                row[isb_col[o.system]] = 1.0
             resid.append(o.pseudorange_m - pred)
-            h_rows.append(np.array([-los[0], -los[1], -los[2], 1.0]))
+            h_rows.append(row)
 
         h_mat = np.asarray(h_rows)[mask]
         r_vec = np.asarray(resid)[mask]
-        if h_mat.shape[0] < 4:
+        if h_mat.shape[0] < n_par:
             return no_fix
         dx, *_ = np.linalg.lstsq(h_mat, r_vec, rcond=None)
         x = x + dx
@@ -157,7 +183,7 @@ def solve_pvt(
     # ---- DOPs ---------------------------------------------------------------
     lat, lon, h = ecef_to_llh(x[:3])
     q = np.linalg.inv(h_mat.T @ h_mat)
-    gdop = float(np.sqrt(np.trace(q)))
+    gdop = float(np.sqrt(np.trace(q[:4, :4])))
     pdop = float(np.sqrt(np.trace(q[:3, :3])))
     e_mat = enu_matrix(lat, lon)
     q_enu = e_mat @ q[:3, :3] @ e_mat.T
@@ -175,4 +201,5 @@ def solve_pvt(
         num_sats=int(mask.sum()),
         residuals_m=r_vec - h_mat @ dx,
         tow_s=rx_tow_s,
+        isb_m={s: float(x[c]) for s, c in isb_col.items()},
     )

@@ -1,19 +1,21 @@
-"""End-to-end GPS L1 C/A receiver: acquisition -> tracking -> telemetry ->
-observables -> PVT.
+"""End-to-end multi-constellation receiver: acquisition -> tracking ->
+telemetry -> observables -> PVT.
 
 Host-side orchestration playing the roles of the reference's ControlThread
 event loop + GNSSFlowgraph channel management (SURVEY.md §3.1-3.4), around
 the batched device engines:
 
-- acquisition: one batched PCPS call over the PRN search list
-  (flowgraph acquisition_manager analog, gnss_flowgraph.cc:1698-1781);
-- tracking: Tracker blocks (all channels in one device program);
-- telemetry: per-channel LnavDecoder fed with extended-integration symbol
-  signs (bit-synced 20 ms prompts);
-- observables: ObservablesEngine anchored by subframe TOW events;
-- PVT: solve_pvt at a fixed epoch cadence.
+- signals are grouped by SignalPlan (GPS L1 C/A, Galileo E1-B, ...); each
+  plan owns one batched PCPS engine and one batched Tracker (all its
+  channels in one device program; reference: one adapter triple per channel,
+  gnss_flowgraph.cc:125-246);
+- telemetry: per-channel LNAV/INAV decoders fed with prompt signs;
+- observables: one shared ObservablesEngine (common receiver clock across
+  constellations) anchored by telemetry TOW events;
+- PVT: solve_pvt at a fixed epoch cadence, with inter-system bias states
+  when multiple constellations contribute.
 
-The sample stream is host-buffered with absolute indexing; the tracker
+The sample stream is host-buffered with absolute indexing; each tracker
 requests [base, base+window) slices (overlap-save).
 """
 
@@ -23,14 +25,12 @@ from dataclasses import dataclass, field
 
 import numpy as np
 
-from gnss_sdr_tpu.acquisition import AcqConfig, PcpsAcquisition
-from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code_table
-from gnss_sdr_tpu.constants import gps_l1_ca as G
+from gnss_sdr_tpu.acquisition import PcpsAcquisition
 from gnss_sdr_tpu.observables.engine import ObservablesEngine
 from gnss_sdr_tpu.pvt.atmosphere import KlobucharParams
 from gnss_sdr_tpu.pvt.solver import ObsEpoch, PvtSolution, solve_pvt
-from gnss_sdr_tpu.telemetry.lnav import GpsEphemeris, LnavDecoder
-from gnss_sdr_tpu.tracking import ChannelPhase, DllPllConf, Tracker
+from gnss_sdr_tpu.receiver.plans import SignalPlan, gps_l1ca_plan
+from gnss_sdr_tpu.tracking import ChannelPhase, Tracker
 
 
 @dataclass
@@ -63,55 +63,73 @@ class ReceiverStatus:
     fixes: list = field(default_factory=list)       # PvtSolution list
     ttff_s: float | None = None
     subframes: int = 0
-    acquired: dict = field(default_factory=dict)    # prn -> (doppler, delay)
+    acquired: dict = field(default_factory=dict)    # (sys, prn) -> (dop, delay)
+
+
+class SignalGroup:
+    """One signal type's engines + per-channel decode state."""
+
+    def __init__(self, plan: SignalPlan, chan_offset: int) -> None:
+        self.plan = plan
+        self.offset = chan_offset           # global channel index base
+        self.acq = PcpsAcquisition(
+            plan.acq_conf, plan.code_table, list(plan.search_prns)
+        )
+        self.tracker = Tracker(plan.trk_conf, plan.code_table)
+        self.decoders: dict[int, object] = {}
+        self.channel_prn = [0] * plan.num_channels
+        # sub-chip (table-unit) code phase by stamp for TOW anchoring
+        self.recent_rem: dict[int, dict] = {}
+
+    def idle_channel(self) -> int | None:
+        for i in range(self.plan.num_channels):
+            if self.tracker.ctl[i].phase in (ChannelPhase.IDLE, ChannelPhase.LOST):
+                return i
+        return None
+
+    def active_channels(self) -> list[int]:
+        return self.tracker.active_channels()
 
 
 class Receiver:
-    def __init__(self, cfg: ReceiverConfig) -> None:
+    def __init__(self, cfg: ReceiverConfig,
+                 plans: list[SignalPlan] | None = None) -> None:
         self.cfg = cfg
-        self.code_table = gps_l1_ca_code_table()
+        if plans is None:
+            plans = [gps_l1ca_plan(
+                fs=cfg.fs,
+                num_channels=cfg.num_channels,
+                doppler_max_hz=cfg.doppler_max_hz,
+                doppler_step_hz=cfg.doppler_step_hz,
+                acq_dwells=cfg.acq_dwells,
+                acq_pfa=cfg.acq_pfa,
+                pll_bw_hz=cfg.pll_bw_hz,
+                dll_bw_hz=cfg.dll_bw_hz,
+                pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
+                dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
+                enable_fll_pull_in=cfg.enable_fll_pull_in,
+                fll_bw_hz=cfg.fll_bw_hz,
+                pull_in_time_s=cfg.pull_in_time_s,
+                extend_correlation_symbols=cfg.extend_correlation_symbols,
+                search_prns=cfg.search_prns,
+            )]
+        self.groups: list[SignalGroup] = []
+        off = 0
+        for plan in plans:
+            self.groups.append(SignalGroup(plan, off))
+            off += plan.num_channels
+        self.total_channels = off
 
-        self.acq_conf = AcqConfig(
-            fs=cfg.fs,
-            code_length_chips=G.CODE_LENGTH_CHIPS,
-            code_rate_cps=G.CODE_RATE_CPS,
-            doppler_max_hz=cfg.doppler_max_hz,
-            doppler_step_hz=cfg.doppler_step_hz,
-            max_dwells=cfg.acq_dwells,
-            pfa=cfg.acq_pfa,
-        )
-        self.acq = PcpsAcquisition(
-            self.acq_conf, self.code_table, list(range(1, 33))
-        )
-        self.trk_conf = DllPllConf(
-            fs=cfg.fs,
-            code_length_chips=G.CODE_LENGTH_CHIPS,
-            code_rate_cps=G.CODE_RATE_CPS,
-            carrier_freq_hz=G.FREQ_HZ,
-            pll_bw_hz=cfg.pll_bw_hz,
-            dll_bw_hz=cfg.dll_bw_hz,
-            pll_bw_narrow_hz=cfg.pll_bw_narrow_hz,
-            dll_bw_narrow_hz=cfg.dll_bw_narrow_hz,
-            enable_fll_pull_in=cfg.enable_fll_pull_in,
-            fll_bw_hz=cfg.fll_bw_hz,
-            pull_in_time_s=cfg.pull_in_time_s,
-            extend_correlation_symbols=cfg.extend_correlation_symbols,
-            max_channels=cfg.num_channels,
-        )
-        self.tracker = Tracker(self.trk_conf, self.code_table)
         self.obs = ObservablesEngine(
-            cfg.fs, self.trk_conf.code_period_s, cfg.num_channels,
-            code_rate_cps=G.CODE_RATE_CPS,
-            carrier_freq_hz=G.FREQ_HZ,
+            cfg.fs, plans[0].code_period_s, self.total_channels,
+            code_rate_cps=plans[0].table_rate_cps,
+            carrier_freq_hz=plans[0].carrier_freq_hz,
             smoothing_epochs=cfg.carrier_smoothing_epochs,
         )
-        self.decoders: dict[int, LnavDecoder] = {}
-        self.channel_prn = [0] * cfg.num_channels
-        self.ephemerides: dict[int, GpsEphemeris] = {}
+        self.ephemerides: dict = {}          # (system, prn) -> ephemeris
         self.iono = KlobucharParams()
         self.status = ReceiverStatus()
         self._next_epoch: int | None = None
-        self._recent_rem: dict = {}
         self._last_pvt_tow: float = -1e9
         self._last_fix: PvtSolution | None = None
 
@@ -119,6 +137,23 @@ class Receiver:
         self._buf = np.zeros(0, dtype=np.complex64)
         self._buf_base = 0
         self._stream_end = 0
+
+    # ------------------------------------------------- backward-compat props
+    @property
+    def acq_conf(self):
+        return self.groups[0].plan.acq_conf
+
+    @property
+    def trk_conf(self):
+        return self.groups[0].plan.trk_conf
+
+    @property
+    def tracker(self):
+        return self.groups[0].tracker
+
+    @property
+    def channel_prn(self):
+        return self.groups[0].channel_prn
 
     # ---------------------------------------------------------------- stream
     def feed(self, chunk: np.ndarray) -> None:
@@ -141,18 +176,27 @@ class Receiver:
 
     # ----------------------------------------------------------- acquisition
     def acquire(self, at_sample: int | None = None) -> dict:
-        """Batched PCPS over the search list; assign detections to idle
-        channels and start tracking (cold-start acquisition_manager)."""
-        cfg = self.cfg
-        n = self.acq_conf.input_samples
+        """Batched PCPS over every group's search list; assign detections to
+        idle channels and start tracking (cold-start acquisition_manager)."""
+        started = {}
+        for g in self.groups:
+            started.update(self._acquire_group(g, at_sample))
+        self.status.acquired.update(started)
+        return started
+
+    def _acquire_group(self, g: SignalGroup, at_sample: int | None) -> dict:
+        plan = g.plan
+        n = plan.acq_conf.input_samples
         start = self._buf_base if at_sample is None else at_sample
         x = self._slice(start, n)
         if x is None:
             raise ValueError("not enough samples buffered for acquisition")
 
-        prns = [p for p in cfg.search_prns if p not in self.channel_prn]
+        prns = [p for p in plan.search_prns if p not in g.channel_prn]
+        if not prns:
+            return {}
         xb = np.broadcast_to(x, (len(prns), n))
-        res = self.acq.acquire(xb, np.array([p - 1 for p in prns]))
+        res = g.acq.acquire(xb, np.array([plan.prn_row(p) for p in prns]))
 
         order = np.argsort(-res.test_statistic)
         started = {}
@@ -160,62 +204,70 @@ class Receiver:
             if not res.detected[idx]:
                 continue
             prn = prns[idx]
-            ch = self._idle_channel()
+            ch = g.idle_channel()
             if ch is None:
                 break
-            self.tracker.start_channel(
-                ch, prn, prn - 1,
+            g.tracker.start_channel(
+                ch, prn, plan.prn_row(prn),
                 acq_delay_samples=float(res.delay_samples[idx]),
                 acq_doppler_hz=float(res.doppler_hz[idx]),
                 acq_samplestamp=start,
                 current_abs_sample=start,
             )
-            self.channel_prn[ch] = prn
-            self.decoders[prn] = LnavDecoder(prn)
-            started[prn] = (
+            g.channel_prn[ch] = prn
+            g.decoders[prn] = plan.make_decoder(prn)
+            self.obs.configure_channel(
+                g.offset + ch, plan.code_period_s, plan.table_rate_cps,
+                plan.carrier_freq_hz, plan.system,
+            )
+            started[(plan.system, prn)] = (
                 float(res.doppler_hz[idx]), float(res.delay_samples[idx])
             )
-        self.status.acquired.update(started)
         return started
 
-    def _idle_channel(self) -> int | None:
-        for i in range(self.cfg.num_channels):
-            if self.tracker.ctl[i].phase in (ChannelPhase.IDLE, ChannelPhase.LOST):
-                return i
-        return None
-
-    # ----------------------------------------------------------------- main
+    # ------------------------------------------------------------------ main
     def run(self, max_blocks: int | None = None) -> ReceiverStatus:
         """Process as much buffered stream as possible."""
         blocks = 0
         while max_blocks is None or blocks < max_blocks:
-            if not self.tracker.active_channels():
+            progressed = False
+            for g in self.groups:
+                if not g.active_channels():
+                    continue
+                base, w = g.tracker.window_request()
+                window = self._slice(base, w)
+                if window is None:
+                    continue
+                result = g.tracker.process(window, base)
+                progressed = True
+                self._handle_block(g, result)
+            if not progressed:
                 break
-            base, w = self.tracker.window_request()
-            window = self._slice(base, w)
-            if window is None:
-                break
-            result = self.tracker.process(window, base)
             blocks += 1
-            self._handle_block(result)
             self._run_epochs()
-            self._trim(int(min(self.tracker.pos_abs[
-                self.tracker.active_channels()])) if self.tracker.active_channels()
-                else self._stream_end)
+            heads = [int(min(g.tracker.pos_abs[g.active_channels()]))
+                     for g in self.groups if g.active_channels()]
+            self._trim(min(heads) if heads else self._stream_end)
         return self.status
 
-    # ------------------------------------------------------------- per block
-    def _handle_block(self, result) -> None:
-        conf = self.trk_conf
+    def _all_active_heads(self) -> list[int]:
+        return [int(min(g.tracker.pos_abs[g.active_channels()]))
+                for g in self.groups if g.active_channels()]
+
+    # -------------------------------------------------------------- per block
+    def _handle_block(self, g: SignalGroup, result) -> None:
+        plan = g.plan
+        conf = plan.trk_conf
         out = result.outputs
-        for ch in range(self.cfg.num_channels):
-            ctl = self.tracker.ctl[ch]
+        for ch in range(plan.num_channels):
+            ctl = g.tracker.ctl[ch]
             if ctl.phase not in (ChannelPhase.WIDE, ChannelPhase.NARROW):
                 continue
-            prn = self.channel_prn[ch]
+            prn = g.channel_prn[ch]
+            gch = g.offset + ch
             # observables: every period's stamp/code-phase/doppler/phase
             self.obs.push_periods(
-                ch,
+                gch,
                 result.abs_sample_end[:, ch],
                 out["rem_code_phase"][:, ch],
                 out["carrier_doppler"][:, ch],
@@ -223,7 +275,7 @@ class Receiver:
                 cn0_dbhz=ctl.cn0_dbhz,
             )
             # sub-chip code phase by stamp, for anchoring telemetry TOWs
-            rem_map = self._recent_rem.setdefault(ch, {})
+            rem_map = g.recent_rem.setdefault(ch, {})
             for k in range(result.abs_sample_end.shape[0]):
                 rem_map[int(result.abs_sample_end[k, ch])] = float(
                     out["rem_code_phase"][k, ch]
@@ -231,31 +283,42 @@ class Receiver:
             if len(rem_map) > 200:
                 for s in sorted(rem_map)[:-100]:
                     del rem_map[s]
-            # telemetry: full extended symbols only (bit-aligned prompts)
-            if ctl.phase == ChannelPhase.NARROW and prn in self.decoders:
-                b = out["boundary"][:, ch]
+
+            if prn not in g.decoders:
+                continue
+            # telemetry symbols: extended-integration prompts for multi-
+            # period bits (GPS LNAV: only after bit sync), every period's
+            # prompt for symbol-rate signals (Galileo E1-B: 250 sym/s from
+            # the first tracked period)
+            b = out["boundary"][:, ch]
+            if conf.extend_correlation_symbols > 1:
+                if ctl.phase != ChannelPhase.NARROW:
+                    continue
                 n_acc = out["acc_samples"][:, ch]
                 full = b & (
                     n_acc > conf.samples_per_code
-                    * (self.cfg.extend_correlation_symbols - 0.5)
+                    * (conf.extend_correlation_symbols - 0.5)
                 )
-                if full.any():
-                    signs = np.sign(out["acc_prompt"][full, ch].real)
-                    stamps = result.abs_sample_end[full, ch]
-                    events = self.decoders[prn].push_bits(signs, stamps)
-                    for ev in events:
-                        self.status.subframes += 1
-                        rem = self._recent_rem.get(ch, {}).get(
-                            int(ev["sample_stamp"]), 0.0
-                        )
-                        self.obs.anchor(
-                            ch, prn, ev["tow_s"], ev["sample_stamp"],
-                            rem_code_chips=rem,
-                        )
-                        if ev["ephemeris_complete"]:
-                            self.ephemerides[prn] = self.decoders[prn].eph
+            else:
+                full = b
+            if not full.any():
+                continue
+            signs = np.sign(out["acc_prompt"][full, ch].real)
+            stamps = result.abs_sample_end[full, ch]
+            events = g.decoders[prn].push_symbols(signs, stamps) if hasattr(
+                g.decoders[prn], "push_symbols"
+            ) else g.decoders[prn].push_bits(signs, stamps)
+            for ev in events:
+                self.status.subframes += 1
+                rem = rem_map.get(int(ev["sample_stamp"]), 0.0)
+                self.obs.anchor(
+                    gch, prn, ev["tow_s"], ev["sample_stamp"],
+                    rem_code_chips=rem,
+                )
+                if ev["ephemeris_complete"]:
+                    self.ephemerides[(plan.system, prn)] = g.decoders[prn].eph
 
-    # --------------------------------------------------------------- epochs
+    # ---------------------------------------------------------------- epochs
     def _run_epochs(self) -> None:
         cfg = self.cfg
         if self.obs.t_rx_tow is None:
@@ -265,16 +328,16 @@ class Receiver:
             self._next_epoch = (
                 (self.obs.rx_ref_stamp // interval) + 2
             ) * interval
-        # epochs must stay within all channels' pushed history
-        act = self.tracker.active_channels()
-        if not act:
+        heads = self._all_active_heads()
+        if not heads:
             return
-        horizon = int(min(self.tracker.pos_abs[act]))
+        horizon = min(heads)
         while self._next_epoch + interval < horizon:
             stamp = self._next_epoch
             self._next_epoch += interval
             epoch_obs = self.obs.epoch(stamp)
-            usable = [o for o in epoch_obs if o.prn in self.ephemerides]
+            usable = [o for o in epoch_obs
+                      if (o.system, o.prn) in self.ephemerides]
             t_rx = self.obs.rx_tow_at(stamp)
             if len(usable) >= 4 and (
                 t_rx - self._last_pvt_tow >= cfg.pvt_interval_ms / 1000.0 - 1e-9
@@ -287,6 +350,7 @@ class Receiver:
                         doppler_hz=o.doppler_hz,
                         carrier_phase_cycles=o.carrier_phase_cycles,
                         cn0_dbhz=o.cn0_dbhz,
+                        system=o.system,
                     )
                     for o in usable
                 ]
@@ -305,3 +369,11 @@ class Receiver:
                     self.status.fixes.append(sol)
                     if self.status.ttff_s is None:
                         self.status.ttff_s = stamp / cfg.fs
+
+    # ------------------------------------------------- compat helper for CLI
+    def _idle_channel(self) -> int | None:
+        for g in self.groups:
+            ch = g.idle_channel()
+            if ch is not None:
+                return ch
+        return None

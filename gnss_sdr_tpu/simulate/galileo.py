@@ -1,0 +1,196 @@
+"""Synthetic Galileo constellation + E1-B signal scenario.
+
+Counterpart of simulate/scenario.py (GPS): builds a nominal Walker 24/3/1
+Galileo constellation, encodes live I/NAV symbol streams, and synthesizes
+geometry-consistent CBOC(6,1,1/11) baseband — the Galileo half of what the
+reference's external gnss-sim generator provides its system tests
+(SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gnss_sdr_tpu.codes.galileo_e1 import cboc_expand, galileo_e1b_code
+from gnss_sdr_tpu.constants import galileo_e1 as GAL
+from gnss_sdr_tpu.simulate.constellation import truth_measurement, visible_sats
+from gnss_sdr_tpu.telemetry.inav import (
+    GalileoEphemeris,
+    GalileoIono,
+    InavEncoder,
+)
+
+GAL_SQRT_A = 5440.588        # ~29600 km semi-major axis
+GAL_INCLINATION = 0.9774     # 56 deg
+SYMBOL_S = 1.0 / GAL.SYMBOL_RATE_SPS
+
+
+def make_galileo_constellation(
+    num_sats: int = 24,
+    week: int = 1250,
+    toe: float = 7200.0,
+    seed: int = 0,
+) -> dict[int, GalileoEphemeris]:
+    """Nominal Walker 24/3/1 Galileo constellation with ICD-representable
+    parameter values (quantization applied on encode)."""
+    rng = np.random.default_rng(seed + 101)
+    ephs: dict[int, GalileoEphemeris] = {}
+    for i in range(num_sats):
+        prn = i + 1
+        plane = i % 3
+        slot = i // 3
+        ephs[prn] = GalileoEphemeris(
+            prn=prn, week=week, iod_nav=prn,
+            toc=toe, toe=toe,
+            af0=float(rng.uniform(-2e-4, 2e-4)),
+            af1=float(rng.uniform(-3e-12, 3e-12)),
+            af2=0.0,
+            bgd_e1e5a=float(rng.uniform(-6e-9, 6e-9)),
+            bgd_e1e5b=float(rng.uniform(-6e-9, 6e-9)),
+            sqrt_a=GAL_SQRT_A + float(rng.uniform(-0.2, 0.2)),
+            ecc=float(rng.uniform(0.0002, 0.003)),
+            m0=float((2.0 * np.pi * slot / 8.0 + plane * 0.3
+                      + rng.uniform(-0.1, 0.1)) % (2 * np.pi) - np.pi),
+            omega0=float((2.0 * np.pi * plane / 3.0
+                          + rng.uniform(-0.05, 0.05)) % (2 * np.pi) - np.pi),
+            i0=GAL_INCLINATION + float(rng.uniform(-0.02, 0.02)),
+            omega=float(rng.uniform(-np.pi, np.pi)),
+            omega_dot=-5.6e-9,
+            idot=float(rng.uniform(-3e-10, 3e-10)),
+            delta_n=float(rng.uniform(2e-9, 4e-9)),
+            cus=float(rng.uniform(-6e-6, 6e-6)),
+            cuc=float(rng.uniform(-6e-6, 6e-6)),
+            crs=float(rng.uniform(-80, 80)),
+            crc=float(rng.uniform(80, 250)),
+            cis=float(rng.uniform(-2e-7, 2e-7)),
+            cic=float(rng.uniform(-2e-7, 2e-7)),
+        )
+    return ephs
+
+
+@dataclass
+class GalileoScenarioConfig:
+    fs: float = 2.6e6
+    tow_start_s: float = 7320.0          # receiver-clock TOW at sample 0
+    duration_s: float = 40.0
+    cn0_dbhz: float = 45.0
+    rx_lat_deg: float = 41.275
+    rx_lon_deg: float = 1.9876
+    rx_height_m: float = 80.0
+    rx_clock_bias_s: float = 0.0
+    rx_clock_drift_ss: float = 0.0
+    min_elevation_deg: float = 15.0
+    max_sats: int = 8
+    noise: bool = True
+    seed: int = 0
+    grid_step_s: float = 0.02
+
+
+class GalileoScenario:
+    """Multi-satellite Galileo E1-B scenario with truth accessors.
+
+    Same API as simulate.scenario.GpsScenario, so system tests can sum the
+    two basebands for a dual-constellation capture (set noise=False on one).
+    """
+
+    def __init__(
+        self,
+        cfg: GalileoScenarioConfig,
+        ephemerides: dict[int, GalileoEphemeris] | None = None,
+    ) -> None:
+        from gnss_sdr_tpu.pvt.coords import llh_to_ecef
+
+        self.cfg = cfg
+        self.ephs = ephemerides if ephemerides is not None else (
+            make_galileo_constellation(seed=cfg.seed)
+        )
+        self.rx_ecef = llh_to_ecef(
+            np.deg2rad(cfg.rx_lat_deg), np.deg2rad(cfg.rx_lon_deg),
+            cfg.rx_height_m,
+        )
+        vis = visible_sats(
+            self.ephs, self.rx_ecef, cfg.tow_start_s,
+            np.deg2rad(cfg.min_elevation_deg),
+        )
+        self.prns = vis[: cfg.max_sats]
+        # I/NAV streams start at the GST even-page boundary at/below the
+        # earliest transmit time in the scenario
+        t_tx_min = cfg.tow_start_s - 0.1
+        self._tow0 = 2.0 * np.floor(t_tx_min / 2.0) - 2.0
+        n_pages = int(np.ceil(cfg.duration_s / 2.0)) + 4
+        self._signs: dict[int, np.ndarray] = {}
+        for p in self.prns:
+            enc = InavEncoder(self.ephs[p], GalileoIono(), tow0_s=self._tow0)
+            syms = enc.symbols(num_pages=n_pages)
+            self._signs[p] = (1.0 - 2.0 * syms.astype(np.float64))
+        self._grids: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._cboc: dict[int, np.ndarray] = {}
+        self._build_grids()
+
+    # ------------------------------------------------------------------ truth
+    def rx_clock_tow(self, sample: float) -> float:
+        return self.cfg.tow_start_s + sample / self.cfg.fs
+
+    def rx_bias_at(self, sample: float) -> float:
+        t = sample / self.cfg.fs
+        return self.cfg.rx_clock_bias_s + self.cfg.rx_clock_drift_ss * t
+
+    def truth_at(self, prn: int, sample: float) -> dict:
+        return truth_measurement(
+            self.ephs[prn], self.rx_ecef, self.rx_clock_tow(sample),
+            rx_clock_bias_s=self.rx_bias_at(sample),
+        )
+
+    # ------------------------------------------------------------- grid setup
+    def _build_grids(self) -> None:
+        cfg = self.cfg
+        n_grid = int(np.ceil(cfg.duration_s / cfg.grid_step_s)) + 3
+        t_grid = np.arange(n_grid) * cfg.grid_step_s
+        for prn in self.prns:
+            ttx = np.empty(n_grid)
+            for i, tg in enumerate(t_grid):
+                tr = truth_measurement(
+                    self.ephs[prn], self.rx_ecef,
+                    cfg.tow_start_s + tg,
+                    rx_clock_bias_s=cfg.rx_clock_bias_s
+                    + cfg.rx_clock_drift_ss * tg,
+                )
+                # E1 code rides the SV clock timeline minus the E1 broadcast
+                # group delay (BGD E1/E5b), mirroring the GPS TGD convention
+                ttx[i] = tr["t_tx_sv"] - self.ephs[prn].tgd
+            self._grids[prn] = (t_grid, ttx)
+            self._cboc[prn] = cboc_expand(galileo_e1b_code(prn))
+
+    # --------------------------------------------------------------- generate
+    def generate(self, start_sample: int, num_samples: int) -> np.ndarray:
+        """Complex64 baseband chunk for samples [start, start+num)."""
+        cfg = self.cfg
+        t = (start_sample + np.arange(num_samples, dtype=np.float64)) / cfg.fs
+        acc = np.zeros(num_samples, dtype=np.complex128)
+        amp = np.sqrt(10.0 ** (cfg.cn0_dbhz / 10.0) / cfg.fs)
+        sub_rate = 12.0 * GAL.CODE_RATE_CPS
+        sub_len = 12 * GAL.CODE_LENGTH_CHIPS
+        for prn in self.prns:
+            tg, ttxg = self._grids[prn]
+            ttx = np.interp(t, tg, ttxg)
+            sub_idx = np.floor(ttx * sub_rate).astype(np.int64)
+            chips = self._cboc[prn][sub_idx % sub_len]
+            sym_idx = np.floor((ttx - self._tow0) / SYMBOL_S).astype(np.int64)
+            signs = self._signs[prn][np.clip(sym_idx, 0,
+                                             len(self._signs[prn]) - 1)]
+            cycles = -GAL.FREQ_HZ * (t - ttx)
+            phase = 2.0 * np.pi * np.mod(cycles, 1.0)
+            acc += amp * chips * signs * np.exp(1j * phase)
+        if cfg.noise:
+            rng = np.random.default_rng(
+                (cfg.seed * 0x51ED2701 + start_sample) & 0x7FFFFFFF
+            )
+            acc += rng.normal(scale=np.sqrt(0.5), size=num_samples)
+            acc += 1j * rng.normal(scale=np.sqrt(0.5), size=num_samples)
+        return acc.astype(np.complex64)
+
+    @property
+    def total_samples(self) -> int:
+        return int(self.cfg.duration_s * self.cfg.fs)

@@ -240,6 +240,26 @@ class Tracker:
                     fll_active=self.state.fll_active.at[ch].set(False)
                 )
 
+        # Symbol-rate signals (one telemetry symbol per code period, e.g.
+        # Galileo E1-B) cannot extend integration across symbols without the
+        # pilot; narrow the loops on a timer instead of on bit sync
+        # (reference: VEML tracking stays at 4 ms and drops to
+        # pll_bw_narrow after pull-in).
+        if (
+            ctl.phase == ChannelPhase.WIDE
+            and conf.extend_correlation_symbols == 1
+            and ctl.total_periods * conf.code_period_s
+            > conf.pull_in_time_s + 0.5
+        ):
+            ctl.phase = ChannelPhase.NARROW
+            ctl.prompt_hist = []
+            s = self.state
+            self.state = s._replace(
+                narrow=s.narrow.at[ch].set(True),
+                fll_active=s.fll_active.at[ch].set(False),
+            )
+            events.append("bit_sync")
+
         if ctl.phase == ChannelPhase.WIDE and conf.extend_correlation_symbols > 1:
             for s_i in range(len(signs)):
                 period = first_period + s_i

@@ -51,7 +51,7 @@ PVT.implementation=RTKLIB_PVT
 """)
     status = run_from_config(FileConfiguration(conf))
     # all 5 simulated satellites acquired with correct PRNs
-    assert set(status.acquired) == set(scen.prns)
-    for prn, (dop, delay) in status.acquired.items():
+    assert {prn for (_, prn) in status.acquired} == set(scen.prns)
+    for (_, prn), (dop, delay) in status.acquired.items():
         truth = scen.truth_at(prn, 0.0)
         assert abs(dop - truth["doppler_hz"]) < 300.0

@@ -52,7 +52,7 @@ def test_acquisition_found_visible_sats(running_receiver):
     scen, rx = running_receiver
     assert len(rx.status.acquired) >= 4
     # acquired Dopplers match geometry truth within one bin
-    for prn, (dop, delay) in rx.status.acquired.items():
+    for (sysid, prn), (dop, delay) in rx.status.acquired.items():
         if prn not in scen.prns:
             continue
         truth = scen.truth_at(prn, 0.0)
@@ -63,7 +63,7 @@ def test_telemetry_decoded(running_receiver):
     scen, rx = running_receiver
     assert rx.status.subframes >= 8
     assert len(rx.ephemerides) >= 4
-    for prn, eph in rx.ephemerides.items():
+    for (sysid, prn), eph in rx.ephemerides.items():
         true_eph = scen.ephs[prn]
         assert abs(eph.sqrt_a - true_eph.sqrt_a) <= 2.0**-19 + 1e-12
         assert abs(eph.toe - true_eph.toe) < 1e-9
