@@ -97,10 +97,14 @@ class SignalConditioner:
                 lo_phase = jnp.mod(lo_phase + w * n, 2.0 * np.pi)
             xt = jnp.concatenate([tail, x])
             y = fir_apply(xt, taps, cfg.decimation)
-            new_tail = (
-                xt[xt.shape[0] - (taps.shape[0] - 1):]
-                if taps.shape[0] > 1 else tail
-            )
+            # carry the FULL unconsumed residue: the next block's first
+            # output must use xt[n_out*decim:], so when the block length is
+            # not a multiple of the decimation factor the tail grows by the
+            # leftover samples (keeps the decimation phase continuous for
+            # arbitrary-length FIFO/UDP blocks; tail length is static per
+            # trace — at most `decimation` distinct lengths get compiled)
+            n_out = (xt.shape[0] - (taps.shape[0] - 1)) // cfg.decimation
+            new_tail = xt[n_out * cfg.decimation:]
             return y, new_tail, lo_phase
 
         self._run = _run

@@ -13,8 +13,22 @@ import datetime as _dt
 GPS_EPOCH = _dt.datetime(1980, 1, 6, tzinfo=_dt.timezone.utc)
 
 
+# GPS-UTC offset (leap seconds) as of 2017-01-01; used as the fallback when
+# no broadcast UTC parameters (delta_t_LS, IS-GPS-200 §20.3.3.5.1.6) have
+# been decoded yet
+DEFAULT_LEAP_SECONDS = 18
+
+
 def gps_to_datetime(week: int, tow_s: float) -> _dt.datetime:
     return GPS_EPOCH + _dt.timedelta(weeks=week, seconds=tow_s)
+
+
+def gps_to_utc_datetime(
+    week: int, tow_s: float, leap_seconds: float = DEFAULT_LEAP_SECONDS
+) -> _dt.datetime:
+    """GPS time -> UTC: subtract the broadcast delta-t_LS (the reference's
+    nmea_printer applies the decoded leap-second offset the same way)."""
+    return GPS_EPOCH + _dt.timedelta(weeks=week, seconds=tow_s - leap_seconds)
 
 
 def datetime_to_gps(t: _dt.datetime) -> tuple[int, float]:

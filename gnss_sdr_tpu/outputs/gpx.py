@@ -4,17 +4,19 @@ from __future__ import annotations
 
 import math
 
-from gnss_sdr_tpu.outputs.gpstime import gps_to_datetime
+from gnss_sdr_tpu.outputs.gpstime import DEFAULT_LEAP_SECONDS, gps_to_utc_datetime
 
 
 class GpxPrinter:
-    def __init__(self, path: str, week: int = 0) -> None:
+    def __init__(self, path: str, week: int = 0,
+                 leap_seconds: float = DEFAULT_LEAP_SECONDS) -> None:
         self.path = path
         self.week = week
+        self.leap_seconds = leap_seconds
         self._pts: list[str] = []
 
     def print_position(self, sol) -> None:
-        t = gps_to_datetime(self.week, sol.tow_s)
+        t = gps_to_utc_datetime(self.week, sol.tow_s, self.leap_seconds)
         self._pts.append(
             f'<trkpt lat="{math.degrees(sol.lat_rad):.9f}" '
             f'lon="{math.degrees(sol.lon_rad):.9f}">'

@@ -12,7 +12,7 @@ import math
 
 import numpy as np
 
-from gnss_sdr_tpu.outputs.gpstime import gps_to_datetime
+from gnss_sdr_tpu.outputs.gpstime import DEFAULT_LEAP_SECONDS, gps_to_utc_datetime
 
 
 def _checksum(body: str) -> str:
@@ -43,11 +43,18 @@ def _lon_str(lon_deg: float) -> tuple[str, str]:
 
 
 class NmeaPrinter:
-    def __init__(self, path: str | None = None, week: int = 0) -> None:
+    def __init__(self, path: str | None = None, week: int = 0,
+                 leap_seconds: float = DEFAULT_LEAP_SECONDS) -> None:
         self.path = path
         self.week = week
+        # GPS->UTC offset; update from the decoded UTC parameters
+        # (delta_t_LS) via set_leap_seconds when available
+        self.leap_seconds = leap_seconds
         self.sentences: list[str] = []
         self._f = open(path, "w") if path else None
+
+    def set_leap_seconds(self, leap_seconds: float) -> None:
+        self.leap_seconds = leap_seconds
 
     def _emit(self, s: str) -> None:
         self.sentences.append(s)
@@ -56,7 +63,9 @@ class NmeaPrinter:
 
     def print_position(self, sol) -> list[str]:
         """Emit GGA/RMC/VTG/GSA for one PvtSolution; returns the sentences."""
-        t = gps_to_datetime(self.week or getattr(sol, "week", 0), sol.tow_s)
+        t = gps_to_utc_datetime(
+            self.week or getattr(sol, "week", 0), sol.tow_s, self.leap_seconds
+        )
         hms = t.strftime("%H%M%S") + f".{int(t.microsecond / 1e4):02d}"
         dmy = t.strftime("%d%m%y")
         lat_deg = math.degrees(sol.lat_rad)

@@ -133,8 +133,18 @@ class RinexNavWriter:
             f.write(_card(f"GPSB {b}", "IONOSPHERIC CORR") + "\n")
         f.write(_card("", "END OF HEADER") + "\n")
 
-    def write_ephemeris(self, eph) -> None:
-        """Write one GpsEphemeris as the 8-line RINEX nav record."""
+    # IS-GPS-200 Table 20 nominal URA meters per URA index (20.3.3.3.1.3);
+    # index 15 means "no accuracy prediction" — written as the largest bound
+    _URA_METERS = (2.4, 3.4, 4.85, 6.85, 9.65, 13.65, 24.0, 48.0, 96.0,
+                   192.0, 384.0, 768.0, 1536.0, 3072.0, 6144.0, 6144.0)
+
+    def write_ephemeris(self, eph, trans_time_s: float | None = None) -> None:
+        """Write one GpsEphemeris as the 8-line RINEX nav record.
+
+        trans_time_s: transmission time of message (seconds of GPS week,
+        e.g. the TOW of the decoded subframe); defaults to toc when no
+        subframe timestamp is available.
+        """
         t = gps_to_datetime(eph.week, eph.toc)
         f = self._f
         f.write(
@@ -142,15 +152,19 @@ class RinexNavWriter:
             f"{t.hour:02d} {t.minute:02d} {t.second:02d}"
             f"{_e19(eph.af0)}{_e19(eph.af1)}{_e19(eph.af2)}\n"
         )
+        ura_m = self._URA_METERS[min(int(eph.ura_index), 15)]
+        # fit interval in HOURS per RINEX 3.02 / rinex_printer.cc (flag 0 ->
+        # 4 h nominal, flag 1 -> 8 h)
+        fit_hours = 4.0 if not eph.fit_interval else 8.0
+        ttom = eph.toc if trans_time_s is None else float(trans_time_s)
         rows = [
             (eph.iode_sf2, eph.crs, eph.delta_n, eph.m0),
             (eph.cuc, eph.ecc, eph.cus, eph.sqrt_a),
             (eph.toe, eph.cic, eph.omega0, eph.cis),
             (eph.i0, eph.crc, eph.omega, eph.omega_dot),
             (eph.idot, 1.0, float(eph.week), 0.0),  # codes on L2, week, L2P flag
-            (2.0 ** eph.ura_index if eph.ura_index < 6 else 2.0 ** (eph.ura_index - 2),
-             float(eph.sv_health), eph.tgd, float(eph.iodc)),
-            (eph.toc, float(4 * 3600 * (eph.fit_interval or 1)), 0.0, 0.0),
+            (ura_m, float(eph.sv_health), eph.tgd, float(eph.iodc)),
+            (ttom, fit_hours, 0.0, 0.0),
         ]
         for r in rows:
             f.write("    " + "".join(_e19(float(v)) for v in r) + "\n")

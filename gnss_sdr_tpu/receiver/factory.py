@@ -152,9 +152,15 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
     notch = False
     blanking = False
     if filt_impl in ("Fir_Filter", "Freq_Xlating_Fir_Filter"):
-        taps = cfg.property("InputFilter.number_of_taps", 5) * 13  # ~65 default
+        # number_of_taps is the literal FIR length in the reference
+        # (freq_xlating_fir_filter.cc); honor it verbatim for config
+        # compatibility, defaulting to a longer filter only when absent
         if cfg.has_property("InputFilter.taps_length"):
             taps = cfg.property("InputFilter.taps_length", 65)
+        elif cfg.has_property("InputFilter.number_of_taps"):
+            taps = cfg.property("InputFilter.number_of_taps", 5)
+        else:
+            taps = 65
         band_end = cfg.property("InputFilter.band1_end", 0.45) * fs_in
         band = (0.0, band_end)
         if filt_impl == "Freq_Xlating_Fir_Filter":

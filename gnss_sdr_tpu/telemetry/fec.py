@@ -47,8 +47,8 @@ def crc24q(bits: np.ndarray) -> int:
 
 
 # ------------------------------------------------- convolutional code (K=7)
-G1 = 0o171  # 121
-G2 = 0o133  # 91
+G1 = 0o171  # 1+D+D^2+D^3+D^6 with the newest input at the register MSB
+G2 = 0o133  # 1+D^2+D^3+D^5+D^6
 
 
 def _parity6(x: np.ndarray) -> np.ndarray:
@@ -60,23 +60,26 @@ def _parity6(x: np.ndarray) -> np.ndarray:
 
 
 def conv_encode(bits: np.ndarray, invert_g2: bool = True) -> np.ndarray:
-    """Rate-1/2 K=7 convolutional encoder, MSB-first state.
+    """Rate-1/2 K=7 convolutional encoder, newest input at register MSB.
 
-    Galileo transmits the second branch inverted (invert_g2=True, ICD
-    §4.1.4.1); GPS CNAV/SBAS use the plain code (invert_g2=False).
-    Input must include the 6 tail zeros if frame-terminated output is
-    wanted. Output: interleaved [g1_0, g2_0, g1_1, g2_1, ...].
+    Polynomials G1=0o171, G2=0o133 with the 7-bit word built as
+    ``(input << 6) | state`` and ``state = word >> 1`` — the ICD convention
+    (1+D+D^2+D^3+D^6, 1+D^2+D^3+D^5+D^6; reference viterbi_decoder.cc
+    builds its trellis the same way). Galileo transmits the second branch
+    inverted (invert_g2=True, ICD §4.1.4.1); GPS CNAV/SBAS use the plain
+    code (invert_g2=False). Input must include the 6 tail zeros if
+    frame-terminated output is wanted. Output: interleaved
+    [g1_0, g2_0, g1_1, g2_1, ...].
     """
     bits = np.asarray(bits, dtype=np.int64)
     n = len(bits)
-    # state s_k = bits[k-6..k] packed MSB=newest
-    state = np.zeros(n, dtype=np.int64)
-    s = 0
+    s = 0  # 6-bit register of the previous inputs, newest at bit 5
     out = np.empty(2 * n, dtype=np.uint8)
     for k in range(n):
-        s = ((s << 1) | int(bits[k])) & 0x7F
-        out[2 * k] = _parity6(np.int64(s & G1))
-        out[2 * k + 1] = _parity6(np.int64(s & G2)) ^ (1 if invert_g2 else 0)
+        word = ((int(bits[k]) << 6) | s) & 0x7F
+        out[2 * k] = _parity6(np.int64(word & G1))
+        out[2 * k + 1] = _parity6(np.int64(word & G2)) ^ (1 if invert_g2 else 0)
+        s = word >> 1
     return out
 
 
@@ -94,16 +97,19 @@ def viterbi_decode(
     n = len(sym) // 2
     n_states = 64
 
-    # branch outputs for (state, input): next 7-bit register = (state<<1|b)
+    # branch outputs for (state, input): 7-bit word = (b<<6)|state (newest
+    # at MSB, matching conv_encode); next state = word >> 1
     states = np.arange(n_states)
     exp_g1 = np.empty((n_states, 2))
     exp_g2 = np.empty((n_states, 2))
     for b in (0, 1):
-        reg = ((states << 1) | b) & 0x7F
+        reg = ((b << 6) | states) & 0x7F
         exp_g1[:, b] = 1.0 - 2.0 * _parity6(reg & G1)
         g2v = _parity6(reg & G2) ^ (1 if invert_g2 else 0)
         exp_g2[:, b] = 1.0 - 2.0 * g2v
-    next_state = (((states[:, None] << 1) | np.array([0, 1])[None, :]) & 0x3F)
+    next_state = (
+        (np.array([0, 1])[None, :] << 5) | (states[:, None] >> 1)
+    ) & 0x3F
 
     metric = np.full(n_states, -1e18)
     metric[0] = 0.0

@@ -180,3 +180,27 @@ def test_conditioner_fractional_resample_streaming():
     expected = np.exp(2j * np.pi * f * t_out)
     err = np.abs(y[8:-8] - expected[8: len(y) - 8])
     assert err.max() < 0.03
+
+
+def test_conditioner_decimation_irregular_block_lengths():
+    """Arbitrary-length blocks (FIFO/UDP sources) must keep the decimation
+    phase continuous across block boundaries: streamed output == one-shot."""
+    fs = 4e6
+    cfg = ConditionerConfig(
+        input_format="passthrough", fs_in=fs, fir_taps=17,
+        fir_band_hz=(0.0, 0.4e6), decimation=4,
+    )
+    x = _tone(fs, 0.1e6, 4096) + 0.05 * (
+        RNG.normal(size=4096) + 1j * RNG.normal(size=4096)
+    ).astype(np.complex64)
+
+    one = SignalConditioner(cfg).process(x)
+
+    streamed = SignalConditioner(cfg)
+    parts, i = [], 0
+    for n in (1000, 37, 511, 1025, 999, 524):
+        parts.append(streamed.process(x[i:i + n]))
+        i += n
+    y = np.concatenate(parts)
+    np.testing.assert_allclose(y, one[: len(y)], rtol=0, atol=1e-4)
+    assert len(y) >= len(one) - 1

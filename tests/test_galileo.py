@@ -82,6 +82,24 @@ def test_conv_viterbi_roundtrip_with_noise():
     assert np.array_equal(viterbi_decode(soft, soft=True), bits)
 
 
+def test_conv_encode_matches_icd_convention():
+    """Cross-check vs a direct evaluation of the ICD polynomials
+    (G1 = 1+D+D^2+D^3+D^6, G2 = 1+D^2+D^3+D^5+D^6, newest bit at register
+    MSB — the convention reference viterbi_decoder.cc realizes)."""
+    rng = np.random.default_rng(7)
+    u = rng.integers(0, 2, 120).astype(np.uint8)
+    sym = conv_encode(u, invert_g2=True)
+
+    def tap(k, d):
+        return int(u[k - d]) if k - d >= 0 else 0
+
+    for k in range(len(u)):
+        g1 = tap(k, 0) ^ tap(k, 1) ^ tap(k, 2) ^ tap(k, 3) ^ tap(k, 6)
+        g2 = tap(k, 0) ^ tap(k, 2) ^ tap(k, 3) ^ tap(k, 5) ^ tap(k, 6)
+        assert sym[2 * k] == g1
+        assert sym[2 * k + 1] == (g2 ^ 1)
+
+
 def test_crc24q_detects_errors():
     rng = np.random.default_rng(1)
     bits = rng.integers(0, 2, 196).astype(np.uint8)
