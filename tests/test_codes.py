@@ -65,3 +65,73 @@ def test_sampled_code_round_trip():
     # chip_shift shifts the sampled sequence
     s_shift = gps_l1_ca_code_sampled(1, fs, chip_shift=1.0)
     assert np.array_equal(s_shift[: 4 * 1022 : 4].astype(np.int8), code[1:])
+
+
+# ------------------------------------------------------------------ GPS L5
+def test_l5_codes_match_reference_generator():
+    """Bit-exact vs the reference gps_l5_signal_replica.cc generators
+    (md5 over the {0,1} chips of PRNs 1..37, I then Q, computed from a
+    compiled dump of the reference implementation)."""
+    import hashlib
+
+    from gnss_sdr_tpu.codes.gps_l5 import _code_table_bits
+
+    mine = np.concatenate([_code_table_bits("I"), _code_table_bits("Q")])
+    assert mine.shape == (74, 10230)
+    digest = hashlib.md5(mine.astype(np.uint8).tobytes()).hexdigest()
+    assert digest == "3d3b74dd7dd8a9e80064ae5e4f46d3ec"
+
+
+def test_l5_code_properties():
+    from gnss_sdr_tpu.codes.gps_l5 import (
+        gps_l5i_code,
+        gps_l5q_code,
+        nh10_levels,
+        nh20_levels,
+    )
+
+    i1 = gps_l5i_code(1).astype(np.float64)
+    q1 = gps_l5q_code(1).astype(np.float64)
+    assert i1.shape == (10230,) and set(np.unique(i1)) == {-1.0, 1.0}
+    # I and Q components are distinct codes
+    assert np.count_nonzero(gps_l5i_code(1) != gps_l5q_code(1)) > 4000
+    # autocorrelation peak
+    x = np.fft.fft(i1)
+    ac = np.fft.ifft(x * np.conj(x)).real
+    assert abs(ac[0] - 10230.0) < 1e-6
+    assert np.max(np.abs(ac[1:])) < 0.05 * 10230
+    # cross-correlation between PRNs stays low
+    x2 = np.fft.fft(gps_l5i_code(7).astype(np.float64))
+    cc = np.fft.ifft(x * np.conj(x2)).real
+    assert np.max(np.abs(cc)) < 0.05 * 10230
+    assert nh10_levels().shape == (10,) and nh20_levels().shape == (20,)
+    # NH10 = 0000110101 -> levels + + + + - - + - + -
+    np.testing.assert_array_equal(
+        nh10_levels(), [1, 1, 1, 1, -1, -1, 1, -1, 1, -1])
+
+
+# -------------------------------------------------------------- Galileo E5a
+def test_e5a_codes_tables():
+    from gnss_sdr_tpu.codes.galileo_e5a import (
+        e5ai_secondary_levels,
+        e5aq_secondary_levels,
+        galileo_e5ai_code,
+        galileo_e5aq_code,
+    )
+
+    c = galileo_e5ai_code(1)
+    assert c.shape == (10230,)
+    # ICD Annex C PRN1 E5a-I begins 3CEA... = 0011 1100 1110 1010 (bit 0 ->
+    # +1 level)
+    np.testing.assert_array_equal(
+        c[:16],
+        1 - 2 * np.array([0, 0, 1, 1, 1, 1, 0, 0, 1, 1, 1, 0, 1, 0, 1, 0]),
+    )
+    q = galileo_e5aq_code(1).astype(np.float64)
+    x = np.fft.fft(q)
+    ac = np.fft.ifft(x * np.conj(x)).real
+    assert abs(ac[0] - 10230.0) < 1e-6
+    assert np.max(np.abs(ac[1:])) < 0.06 * 10230
+    sec = e5aq_secondary_levels(1)
+    assert sec.shape == (100,) and set(np.unique(sec)) <= {-1.0, 1.0}
+    assert e5ai_secondary_levels().shape == (20,)
