@@ -39,6 +39,7 @@ def state_shardings(mesh: Mesh) -> TrackingState:
         pll_state=mat, dll_state=mat,
         prev_prompt=row, fll_active=row, narrow=row, use_atan2=row,
         integ_len=row, integ_count=row, acc_taps=mat, acc_samples=row,
+        sec_idx=row, sec_active=row, acc_data=row, acc_data_count=row,
     )
 
 

@@ -40,6 +40,21 @@ class DllPllConf:
     # Extended coherent integration after bit/secondary-code sync
     extend_correlation_symbols: int = 1          # in code periods
     codes_per_bit: int = 20                      # data-bit length in code periods
+
+    # Pilot tracking with secondary-code wipeoff (reference track_pilot,
+    # dll_pll_conf.h:81 + acquire_secondary, dll_pll_veml_tracking.cc:1120).
+    # When enabled the correlator taps run on the PILOT code (codes arg) and
+    # one extra prompt correlator runs on the DATA code; after the host
+    # locks the pilot secondary sequence the engine wipes both components'
+    # secondary chips on-device, the PLL switches to four-quadrant atan2,
+    # and coherent integration may extend past data-symbol boundaries.
+    track_pilot: bool = False
+    sec_len_pilot: int = 1      # pilot secondary length in code periods
+    sec_len_data: int = 1       # data secondary/symbol length in code periods
+    # True when the data component is in phase quadrature to the pilot
+    # (GPS L5 / Galileo E5a QPSK: data symbols appear on the imaginary axis
+    # once the pilot PLL locks, reference Prompt_Q symbol extraction)
+    data_on_quadrature: bool = False
     # histogram votes needed to declare bit sync (per-period prompt signs
     # are near-error-free above ~35 dB-Hz, so few clean votes suffice)
     bit_sync_transitions: int = 8
@@ -58,6 +73,13 @@ class DllPllConf:
     # Batch geometry
     max_channels: int = 12
     steps_per_block: int = 20                    # code periods per device call
+
+    @property
+    def sec_lcm(self) -> int:
+        """Secondary-phase counter modulus (both sequences stay aligned)."""
+        import math
+
+        return math.lcm(self.sec_len_pilot, self.sec_len_data)
 
     @property
     def samples_per_code(self) -> int:

@@ -67,6 +67,11 @@ class TrackingState(NamedTuple):
     integ_count: jnp.ndarray        # i32
     acc_taps: jnp.ndarray           # [C,T] c64 — coherent accumulators
     acc_samples: jnp.ndarray        # i32 — samples in current integration
+    # pilot/secondary-code tracking (track_pilot plans)
+    sec_idx: jnp.ndarray            # i32 — code-period index in the secondary epoch
+    sec_active: jnp.ndarray         # bool — secondary wipeoff engaged
+    acc_data: jnp.ndarray           # c64 — data-component coherent accumulator
+    acc_data_count: jnp.ndarray     # i32 — periods in the data accumulator
 
 
 class StepOutputs(NamedTuple):
@@ -83,6 +88,9 @@ class StepOutputs(NamedTuple):
     rem_code_phase: jnp.ndarray     # f64 — chips at period end
     pos_end: jnp.ndarray            # i32 — window-relative end sample
     n_samples: jnp.ndarray          # i32 — samples consumed this period
+    data_prompt: jnp.ndarray        # c64 — data-symbol accumulator (at boundary)
+    data_boundary: jnp.ndarray      # bool — data symbol completed this period
+    data_count: jnp.ndarray         # i32 — periods in that data symbol
 
 
 def init_state(conf: DllPllConf) -> TrackingState:
@@ -105,6 +113,10 @@ def init_state(conf: DllPllConf) -> TrackingState:
         integ_count=jnp.zeros((c,), jnp.int32),
         acc_taps=jnp.zeros((c, t), jnp.complex64),
         acc_samples=jnp.zeros((c,), jnp.int32),
+        sec_idx=jnp.zeros((c,), jnp.int32),
+        sec_active=jnp.zeros((c,), bool),
+        acc_data=jnp.zeros((c,), jnp.complex64),
+        acc_data_count=jnp.zeros((c,), jnp.int32),
     )
 
 
@@ -123,6 +135,10 @@ def track_block(
     state: TrackingState,
     window: jnp.ndarray,        # [W] complex64 — shared sample window
     codes: jnp.ndarray,         # [C, L] float32 — per-channel PRN chips
+                                #   (PILOT code when conf.track_pilot)
+    data_codes: jnp.ndarray | None = None,   # [C, L] f32 — data code (pilot mode)
+    sec_pilot: jnp.ndarray | None = None,    # [C, sec_len_pilot] f32 ±1
+    sec_data: jnp.ndarray | None = None,     # [C, sec_len_data] f32 ±1
 ) -> tuple[TrackingState, StepOutputs]:
     """Run `conf.steps_per_block` PRN periods for all channels."""
     n_max = conf.max_step_samples
@@ -188,11 +204,57 @@ def track_block(
         # ---- correlate: sum_k xw[c,k] * code[c,t,k] ------------------------
         corr = jnp.sum(xw[:, None, :] * ctaps, axis=-1)        # [C, T] c64
 
+        # ---- data-component prompt correlator (pilot tracking) -------------
+        # reference: separate d_correlator_data_cpu on the data code at the
+        # prompt offset (dll_pll_veml_tracking.cc:1248)
+        if conf.track_pilot:
+            sl = (slice(None), slice(p_idx, p_idx + 1), slice(None))
+            d0 = jnp.take_along_axis(data_codes[:, None, :], idx[sl], axis=2)
+            if conf.interp_code:
+                d_prev = jnp.take_along_axis(
+                    data_codes[:, None, :], idx_prev[sl], axis=2)
+                d_next = jnp.take_along_axis(
+                    data_codes[:, None, :], idx_next[sl], axis=2)
+                dtap = (
+                    d_prev + (d0 - d_prev) * ramp_in[sl]
+                    + (d_next - d0) * ramp_out[sl]
+                )
+            else:
+                dtap = d0
+            corr_data = jnp.sum(xw[:, None, :] * dtap, axis=-1)[:, 0]  # [C]
+        else:
+            corr_data = corr[:, p_idx]
+
+        # ---- secondary-code wipeoff (once the host locks the sequence) -----
+        sp = conf.sec_len_pilot
+        sd = conf.sec_len_data
+        if conf.track_pilot and sp > 1:
+            chip_p = jnp.take_along_axis(
+                sec_pilot, (st.sec_idx % sp)[:, None], axis=1)[:, 0]
+            wipe_p = jnp.where(st.sec_active, chip_p, 1.0)
+        else:
+            wipe_p = jnp.ones_like(corr_data.real)
+        if conf.track_pilot and sd > 1:
+            chip_d = jnp.take_along_axis(
+                sec_data, (st.sec_idx % sd)[:, None], axis=1)[:, 0]
+            wipe_d = jnp.where(st.sec_active, chip_d, 1.0)
+        else:
+            wipe_d = jnp.ones_like(corr_data.real)
+
         # ---- coherent accumulation ----------------------------------------
-        acc_taps = st.acc_taps + corr
+        acc_taps = st.acc_taps + corr * wipe_p[:, None]
         acc_samples = st.acc_samples + n
         integ_count = jnp.where(st.enabled, st.integ_count + 1, 0)
         boundary = (integ_count >= st.integ_len) & st.enabled
+
+        # data-symbol accumulation: one symbol spans sec_len_data periods,
+        # completing when this period's secondary index ends a symbol
+        acc_data = st.acc_data + (corr_data * wipe_d).astype(jnp.complex64)
+        acc_data_count = st.acc_data_count + 1
+        data_boundary = ((st.sec_idx % sd) == sd - 1) & st.enabled
+        sec_idx_next = jnp.where(
+            st.enabled, (st.sec_idx + 1) % conf.sec_lcm, st.sec_idx
+        )
 
         # ---- loop update at integration boundaries ------------------------
         t_int = acc_samples.astype(jnp.float32) / np.float32(fs)
@@ -278,6 +340,12 @@ def track_block(
                 boundary[:, None], jnp.zeros_like(acc_taps), acc_taps
             ),
             acc_samples=jnp.where(boundary, 0, acc_samples),
+            sec_idx=sec_idx_next,
+            sec_active=st.sec_active,
+            acc_data=jnp.where(
+                data_boundary, jnp.zeros_like(acc_data), acc_data
+            ),
+            acc_data_count=jnp.where(data_boundary, 0, acc_data_count),
         )
         out = StepOutputs(
             prompt=corr[:, p_idx],
@@ -291,6 +359,9 @@ def track_block(
             rem_code_phase=rem_new,
             pos_end=st.pos + n,
             n_samples=n,
+            data_prompt=acc_data,
+            data_boundary=data_boundary,
+            data_count=acc_data_count,
         )
         return new_state, out
 

@@ -53,6 +53,10 @@ class ChannelControl:
     cn0_dbhz: float = 0.0
     carrier_lock: float = 0.0
     lock_fail_blocks: int = 0
+    # pilot secondary-code sync (reference acquire_secondary)
+    sec_hist: list = field(default_factory=list)   # per-period prompt signs
+    sec_hist_start: int = 0          # period index of sec_hist[0]
+    sec_locked: bool = False
 
 
 @dataclass
@@ -67,7 +71,18 @@ class BlockResult:
 class Tracker:
     """Batched multi-channel tracker with host FSM."""
 
-    def __init__(self, conf: DllPllConf, code_table: np.ndarray) -> None:
+    def __init__(
+        self,
+        conf: DllPllConf,
+        code_table: np.ndarray,
+        data_code_table: np.ndarray | None = None,
+        sec_pilot_table: np.ndarray | None = None,
+        sec_data_levels: np.ndarray | None = None,
+    ) -> None:
+        """code_table: [P, L] PRN chip levels (the PILOT component when
+        conf.track_pilot). Pilot plans additionally provide the data-code
+        table, the per-PRN pilot secondary table [P, sec_len_pilot], and the
+        shared data secondary [sec_len_data]."""
         self.conf = conf
         self.code_table = np.asarray(code_table, dtype=np.float32)
         self.state: TrackingState = init_state(conf)
@@ -77,6 +92,22 @@ class Tracker:
         self.ctl = [ChannelControl() for _ in range(c)]
         for ch in self.ctl:
             ch.bit_hist = np.zeros(conf.codes_per_bit, dtype=np.int64)
+
+        if conf.track_pilot:
+            assert data_code_table is not None and sec_pilot_table is not None
+            self.data_code_table = np.asarray(data_code_table, np.float32)
+            self.sec_pilot_table = np.asarray(sec_pilot_table, np.float32)
+            self.data_codes = np.zeros_like(self.codes)
+            self.sec_pilot = np.ones((c, conf.sec_len_pilot), np.float32)
+            self.sec_data = np.ones((c, conf.sec_len_data), np.float32)
+            if sec_data_levels is not None:
+                self.sec_data[:] = np.asarray(sec_data_levels, np.float32)
+            self._sec_data_base = self.sec_data[0].copy()
+        else:
+            self.data_code_table = None
+            self.data_codes = None
+            self.sec_pilot = None
+            self.sec_data = None
 
         # Block outputs leave the device as ONE packed f32 tensor per call
         # (single d2h round trip; some TPU runtimes cannot transfer
@@ -94,6 +125,9 @@ class Tracker:
             "rem_code_phase": ((), np.float64),
             "pos_end": ((), np.int32),
             "n_samples": ((), np.int32),
+            "data_prompt": ((), np.complex64),
+            "data_boundary": ((), np.bool_),
+            "data_count": ((), np.int32),
         }
         self._spec = make_spec(
             {k: np.empty((1, 1) + tr, dt) for k, (tr, dt) in shapes.items()},
@@ -102,8 +136,10 @@ class Tracker:
         spec = self._spec
 
         @jax.jit
-        def _track_packed(state, window, codes):
-            new_state, outs = track_block(conf, state, window, codes)
+        def _track_packed(state, window, codes, data_codes, sec_p, sec_d):
+            new_state, outs = track_block(
+                conf, state, window, codes, data_codes, sec_p, sec_d
+            )
             # raveled so the output buffer has a trivial layout (some remote
             # runtimes cannot transfer non-default-layout buffers)
             return new_state, pack_tree(outs._asdict(), spec).ravel()
@@ -135,6 +171,10 @@ class Tracker:
         rem0 = (start - boundary) * conf.code_rate_cps / conf.fs
 
         self.codes[ch] = self.code_table[code_row]
+        if conf.track_pilot:
+            self.data_codes[ch] = self.data_code_table[code_row]
+            self.sec_pilot[ch] = self.sec_pilot_table[code_row]
+            self.sec_data[ch] = self._sec_data_base
         self.pos_abs[ch] = start
         self.ctl[ch] = ChannelControl(phase=ChannelPhase.WIDE, prn=prn)
         self.ctl[ch].bit_hist = np.zeros(conf.codes_per_bit, dtype=np.int64)
@@ -163,6 +203,10 @@ class Tracker:
             integ_count=s.integ_count.at[ch].set(0),
             acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
             acc_samples=s.acc_samples.at[ch].set(0),
+            sec_idx=s.sec_idx.at[ch].set(0),
+            sec_active=s.sec_active.at[ch].set(False),
+            acc_data=s.acc_data.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_data_count=s.acc_data_count.at[ch].set(0),
         )
 
     def stop_channel(self, ch: int) -> None:
@@ -202,6 +246,9 @@ class Tracker:
         new_state, packed = self._track_packed(
             st, jnp.asarray(np.asarray(window, dtype=np.complex64)),
             jnp.asarray(self.codes),
+            jnp.asarray(self.data_codes) if conf.track_pilot else None,
+            jnp.asarray(self.sec_pilot) if conf.track_pilot else None,
+            jnp.asarray(self.sec_data) if conf.track_pilot else None,
         )
         self.state = new_state
         flat = fetch(packed)
@@ -240,13 +287,44 @@ class Tracker:
                     fll_active=self.state.fll_active.at[ch].set(False)
                 )
 
+        # Pilot plans: acquire the secondary code from per-period prompt
+        # signs (reference acquire_secondary, dll_pll_veml_tracking.cc:1120)
+        if (
+            conf.track_pilot
+            and conf.sec_len_pilot > 1
+            and ctl.phase == ChannelPhase.WIDE
+            and not ctl.sec_locked
+            and ctl.total_periods * conf.code_period_s > conf.pull_in_time_s
+        ):
+            if not ctl.sec_hist:
+                ctl.sec_hist_start = first_period
+            ctl.sec_hist.extend(signs.tolist())
+            sp = conf.sec_len_pilot
+            if len(ctl.sec_hist) >= sp:
+                w = np.asarray(ctl.sec_hist[-sp:], dtype=np.float64)
+                p0 = ctl.sec_hist_start + len(ctl.sec_hist) - sp
+                sec = self.sec_pilot[ch].astype(np.float64)
+                # cyclic correlation of the sign window against the sequence
+                shifts = np.array([
+                    np.dot(w, np.roll(sec, -k)) for k in range(sp)
+                ])
+                k0 = int(np.argmax(np.abs(shifts)))
+                if abs(shifts[k0]) == sp:          # perfect match required
+                    polarity = 1.0 if shifts[k0] > 0 else -1.0
+                    self._engage_secondary(ch, p0, k0, polarity)
+                    events.append("secondary_sync")
+                elif len(ctl.sec_hist) > 4 * sp:
+                    ctl.sec_hist = ctl.sec_hist[-sp:]
+                    ctl.sec_hist_start = p0
+
         # Symbol-rate signals (one telemetry symbol per code period, e.g.
         # Galileo E1-B) cannot extend integration across symbols without the
         # pilot; narrow the loops on a timer instead of on bit sync
         # (reference: VEML tracking stays at 4 ms and drops to
         # pll_bw_narrow after pull-in).
         if (
-            ctl.phase == ChannelPhase.WIDE
+            not conf.track_pilot
+            and ctl.phase == ChannelPhase.WIDE
             and conf.extend_correlation_symbols == 1
             and ctl.total_periods * conf.code_period_s
             > conf.pull_in_time_s + 0.5
@@ -260,7 +338,8 @@ class Tracker:
             )
             events.append("bit_sync")
 
-        if ctl.phase == ChannelPhase.WIDE and conf.extend_correlation_symbols > 1:
+        if (not conf.track_pilot and ctl.phase == ChannelPhase.WIDE
+                and conf.extend_correlation_symbols > 1):
             for s_i in range(len(signs)):
                 period = first_period + s_i
                 if ctl.last_sign != 0.0 and signs[s_i] != ctl.last_sign:
@@ -315,6 +394,48 @@ class Tracker:
                     self.ctl[ch].phase = ChannelPhase.LOST
                     events.append("loss_of_lock")
         return events
+
+    def _engage_secondary(
+        self, ch: int, p0: int, k0: int, polarity: float
+    ) -> None:
+        """Secondary sequence locked: the prompt of period p0+i matched
+        secondary chip (i+k0) mod sp with the given polarity. Engage
+        on-device wipeoff for both components, switch the PLL to
+        four-quadrant atan2, and extend coherent integration (reference
+        post-acquire_secondary state switch)."""
+        conf = self.conf
+        ctl = self.ctl[ch]
+        sp = conf.sec_len_pilot
+        # fold the Costas half-cycle ambiguity into the wipe sequences so
+        # the wiped pilot prompt comes out real-positive (both components
+        # flip together under a pi carrier rotation)
+        self.sec_pilot[ch] = self.sec_pilot[ch] * polarity
+        self.sec_data[ch] = self._sec_data_base * polarity
+        # secondary chip index of the NEXT period (device applies it at the
+        # start of the next block, which begins at period ctl.total_periods)
+        idx_next = (ctl.total_periods - p0 + k0) % sp
+        ctl.phase = ChannelPhase.NARROW
+        ctl.sec_locked = True
+        ctl.sec_hist = []
+        ctl.prompt_hist = []
+        s = self.state
+        self.state = s._replace(
+            sec_idx=s.sec_idx.at[ch].set(int(idx_next)),
+            sec_active=s.sec_active.at[ch].set(True),
+            use_atan2=s.use_atan2.at[ch].set(True),
+            narrow=s.narrow.at[ch].set(True),
+            fll_active=s.fll_active.at[ch].set(False),
+            # zero the frequency-rate integrator as in _engage_extended
+            pll_state=s.pll_state.at[ch, 1].set(0.0),
+            integ_len=s.integ_len.at[ch].set(
+                int(conf.extend_correlation_symbols)
+            ),
+            integ_count=s.integ_count.at[ch].set(0),
+            acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_samples=s.acc_samples.at[ch].set(0),
+            acc_data=s.acc_data.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_data_count=s.acc_data_count.at[ch].set(0),
+        )
 
     def _engage_extended(self, ch: int) -> None:
         """Switch to narrow-band extended integration aligned to bit edges."""

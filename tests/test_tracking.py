@@ -194,3 +194,97 @@ def test_two_channels_independent(scenario):
     dops3 = np.concatenate([r.outputs["carrier_doppler"][:, 3] for r in results])
     assert abs(np.mean(dops0[-300:]) - true_dop) < 5.0
     assert abs(np.mean(dops3[-300:]) - (-1600.0)) < 5.0
+
+
+# ------------------------------------------------------- pilot (GPS L5-like)
+def test_pilot_secondary_tracking_l5():
+    """GPS L5 pilot tracking: secondary (NH20) sync acquired from prompt
+    signs, on-device wipeoff engaged, PLL switches to four-quadrant atan2,
+    coherent integration extends past the 10 ms data symbol, and the data
+    symbols are recovered on the quadrature axis (reference track_pilot +
+    acquire_secondary, dll_pll_veml_tracking.cc:1120-1165)."""
+    from gnss_sdr_tpu.codes.gps_l5 import (
+        gps_l5i_code_table,
+        gps_l5q_code_table,
+        nh10_levels,
+        nh20_levels,
+    )
+    from gnss_sdr_tpu.constants import gps_l5 as L5
+
+    FS5 = 12.5e6
+    rng = np.random.default_rng(21)
+    nav = rng.choice([-1.0, 1.0], size=300)     # 100 sps symbols
+    true_dop = 1234.0
+    delay_chips = 2500.0
+    sat = SatelliteSignalParams(
+        prn=3, signal="L5", cn0_dbhz=50.0, doppler_hz=true_dop,
+        delay_chips=delay_chips, nav_bits=nav, carrier_phase_rad=0.9,
+    )
+    x = generate_baseband([sat], FS5, int(FS5 * 1.3), seed=2)
+
+    conf = DllPllConf(
+        fs=FS5, code_length_chips=L5.CODE_LENGTH_CHIPS,
+        code_rate_cps=L5.CODE_RATE_CPS, carrier_freq_hz=L5.FREQ_HZ,
+        early_late_spacing_chips=1.0,
+        pll_bw_hz=25.0, dll_bw_hz=2.0,
+        pll_bw_narrow_hz=7.5, dll_bw_narrow_hz=0.5,
+        enable_fll_pull_in=True, pull_in_time_s=0.15,
+        extend_correlation_symbols=20,
+        track_pilot=True, sec_len_pilot=20, sec_len_data=10,
+        data_on_quadrature=True,
+        max_channels=2, steps_per_block=20,
+    )
+    tracker = Tracker(
+        conf, gps_l5q_code_table(),
+        data_code_table=gps_l5i_code_table(),
+        sec_pilot_table=np.tile(nh20_levels(), (37, 1)),
+        sec_data_levels=nh10_levels(),
+    )
+    sps_chip = FS5 / L5.CODE_RATE_CPS
+    tracker.start_channel(
+        ch=0, prn=3, code_row=2,
+        acq_delay_samples=delay_chips * sps_chip,
+        acq_doppler_hz=true_dop - 150.0,
+        acq_samplestamp=0, current_abs_sample=0,
+    )
+    results = _run_tracking(conf, x, tracker, 62)
+    events = [e for r in results for e in r.events]
+    assert (0, "secondary_sync") in events
+    assert tracker.ctl[0].sec_locked
+    assert bool(np.asarray(tracker.state.use_atan2)[0])
+    assert bool(np.asarray(tracker.state.sec_active)[0])
+
+    # extended coherent integration spans 20 code periods (> 1 data symbol)
+    spc = conf.samples_per_code
+    long_accs = []
+    for r in results[-10:]:
+        b = r.outputs["boundary"][:, 0]
+        long_accs.extend(r.outputs["acc_samples"][b, 0].tolist())
+    assert long_accs and max(long_accs) > 19.5 * spc
+
+    # doppler converged
+    dops = np.concatenate(
+        [r.outputs["carrier_doppler"][:, 0] for r in results])
+    assert abs(np.mean(dops[-300:]) - true_dop) < 3.0
+
+    # data symbols recovered on the quadrature axis, matching truth
+    # (graded after the narrow-loop engage transient rings out, ~0.4 s for
+    # a 7.5 Hz 3rd-order loop; early symbols are CRC-rejected in a real
+    # telemetry chain)
+    code_rate_eff = L5.CODE_RATE_CPS * (1.0 + true_dop / L5.FREQ_HZ)
+    got, truth = [], []
+    for r in results:
+        db = r.outputs["data_boundary"][:, 0]
+        full = db & (r.outputs["data_count"][:, 0] == conf.sec_len_data)
+        for s_i in np.nonzero(full)[0]:
+            stamp = float(r.abs_sample_end[s_i, 0])
+            if stamp / FS5 < 0.7:
+                continue
+            v = r.outputs["data_prompt"][s_i, 0]
+            mid = (stamp - 5 * spc) / FS5 * code_rate_eff - delay_chips
+            period = int(np.floor(mid / L5.CODE_LENGTH_CHIPS))
+            truth.append(nav[(period // 10) % len(nav)])
+            got.append(np.sign(v.imag))
+    assert len(got) > 30
+    agree = np.mean(np.asarray(got) == np.asarray(truth))
+    assert agree == 1.0 or agree == 0.0, agree
