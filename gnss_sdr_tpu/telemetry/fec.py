@@ -84,12 +84,21 @@ def conv_encode(bits: np.ndarray, invert_g2: bool = True) -> np.ndarray:
 
 
 def viterbi_decode(
-    symbols: np.ndarray, invert_g2: bool = True, soft: bool = False
+    symbols: np.ndarray,
+    invert_g2: bool = True,
+    soft: bool = False,
+    start_state: int | None = 0,
+    end_state: int | None = 0,
 ) -> np.ndarray:
-    """Viterbi decode rate-1/2 K=7 (terminated, zero start/end state).
+    """Viterbi decode rate-1/2 K=7.
 
     symbols: [2N] hard bits (0/1) or soft values in [-1,1] (soft=True,
-    +1 <=> bit 0). Returns N decoded bits (including the 6 tail bits).
+    +1 <=> bit 0). Returns N decoded bits (including any tail bits).
+    start_state/end_state: register state constraints; None = free
+    (all-equal initial metrics / traceback from the best final state) for
+    continuously-encoded streams like GPS CNAV, where a message is decoded
+    out of a longer symbol window (reference analog: libswiftcnav
+    cnav_msg_decoder's running decoder).
     """
     sym = np.asarray(symbols, dtype=np.float64)
     if not soft:
@@ -111,8 +120,11 @@ def viterbi_decode(
         (np.array([0, 1])[None, :] << 5) | (states[:, None] >> 1)
     ) & 0x3F
 
-    metric = np.full(n_states, -1e18)
-    metric[0] = 0.0
+    if start_state is None:
+        metric = np.zeros(n_states)
+    else:
+        metric = np.full(n_states, -1e18)
+        metric[start_state] = 0.0
     decisions = np.zeros((n, n_states), dtype=np.uint8)   # surviving input bit
     prev_of = np.zeros((n, n_states), dtype=np.uint8)     # surviving prev state
 
@@ -134,9 +146,9 @@ def viterbi_decode(
         prev_of[k] = new_prev
         decisions[k] = new_bit
 
-    # traceback from state 0 (terminated)
+    # traceback
     out = np.empty(n, dtype=np.uint8)
-    s = 0
+    s = int(np.argmax(metric)) if end_state is None else end_state
     for k in range(n - 1, -1, -1):
         out[k] = decisions[k, s]
         s = prev_of[k, s]
