@@ -40,16 +40,22 @@ class ChannelObsState:
     hist: deque = field(default_factory=lambda: deque(maxlen=64))
     prn: int = 0
     system: str = "G"
+    signal: str = "1C"
     cn0_dbhz: float = 0.0
-    # per-channel signal geometry (multi-constellation: one engine serves
-    # mixed channels; these default from the engine-level values)
+    # per-channel signal geometry (multi-constellation / multi-band: one
+    # engine serves mixed channels; stamps are in the channel's own band
+    # sample rate `fs`, converted to seconds for the common rx clock)
     code_period_s: float = 0.0
     code_rate_cps: float = 0.0
     wavelength_m: float = 0.0
+    fs: float = 0.0
     # carrier-smoothing (Hatch filter) state
     sm_pr: float = np.nan
     sm_phase: float = np.nan
     sm_count: int = 0
+    # cycle-slip detection state (reference hybrid_observables_gs.cc:594)
+    last_dop: float = np.nan
+    last_epoch_t: float = np.nan
 
 
 @dataclass
@@ -63,6 +69,7 @@ class EpochObservation:
     carrier_phase_cycles: float
     cn0_dbhz: float
     system: str = "G"
+    signal: str = "1C"
 
 
 class ObservablesEngine:
@@ -85,8 +92,10 @@ class ObservablesEngine:
             st.code_period_s = code_period_s
             st.code_rate_cps = code_rate_cps
             st.wavelength_m = self.wavelength_m
-        self.t_rx_tow: float | None = None    # receiver TOW at rx_ref_stamp
-        self.rx_ref_stamp: int = 0
+            st.fs = fs
+        self.t_rx_tow: float | None = None    # receiver TOW at rx_ref_time_s
+        self.rx_ref_stamp: int = 0            # in engine-fs samples
+        self.rx_ref_time_s: float = 0.0
 
     def configure_channel(
         self,
@@ -95,15 +104,20 @@ class ObservablesEngine:
         code_rate_cps: float,
         carrier_freq_hz: float,
         system: str = "G",
+        fs: float | None = None,
+        signal: str = "1C",
     ) -> None:
         """Set one channel's signal geometry (multi-constellation mixing;
         the reference's hybrid_observables reads these off each channel's
-        Gnss_Synchro)."""
+        Gnss_Synchro). `fs` is the channel's band sample rate (dual-band
+        receivers run bands at different rates; stamps are band-local)."""
         st = self.ch[ch]
         st.code_period_s = code_period_s
         st.code_rate_cps = code_rate_cps
         st.wavelength_m = C_LIGHT / carrier_freq_hz
         st.system = system
+        st.signal = signal
+        st.fs = self.fs if fs is None else fs
 
     # ------------------------------------------------------------- anchoring
     def anchor(
@@ -125,7 +139,8 @@ class ObservablesEngine:
         )
         if self.t_rx_tow is None:
             self.t_rx_tow = tow_s + NOMINAL_TRANSIT_S
-            self.rx_ref_stamp = stamp
+            self.rx_ref_time_s = stamp / st.fs
+            self.rx_ref_stamp = int(round(self.rx_ref_time_s * self.fs))
 
     def deanchor(self, ch: int) -> None:
         self.ch[ch] = ChannelObsState()
@@ -144,15 +159,26 @@ class ObservablesEngine:
         st.cn0_dbhz = cn0_dbhz
         if not st.anchored:
             return
+        periods_per_s = 1.0 / st.code_period_s
         for k in range(len(stamps)):
             s = int(stamps[k])
             if s <= st.last_stamp:
                 continue
             # each tracked period advances satellite time by one code period
-            n = round((s - st.last_stamp) / (
-                self.fs * st.code_period_s
-            ))
-            n = max(n, 1)
+            dt = (s - st.last_stamp) / st.fs
+            n = round(dt * periods_per_s)
+            # TOW-consistency check (reference cross-checks interpolated TOW
+            # against TOW_at_current_symbol_ms): a stamp gap that is not a
+            # clean whole number of periods, or an absurdly large jump,
+            # means periods were dropped — propagating round() here would
+            # silently slip TOW by whole code periods (~300 km of
+            # pseudorange per ms).  De-anchor and wait for the next
+            # telemetry anchor instead.
+            if n < 1 or n > 1024 or abs(dt - n * st.code_period_s) > (
+                0.05 * st.code_period_s
+            ):
+                self.deanchor_keep_signal(ch)
+                return
             st.t_tx += n * st.code_period_s
             st.last_stamp = s
             st.hist.append(
@@ -161,21 +187,42 @@ class ObservablesEngine:
                  float(carrier_phase_rad[k]) / (2.0 * np.pi))
             )
 
+    def deanchor_keep_signal(self, ch: int) -> None:
+        """Drop the TOW anchor (channel re-anchors at the next telemetry
+        event) but keep the signal geometry configuration."""
+        st = self.ch[ch]
+        st.anchored = False
+        st.last_stamp = -1
+        st.hist.clear()
+        st.sm_pr = np.nan
+        st.sm_phase = np.nan
+        st.sm_count = 0
+
     # ---------------------------------------------------------------- epochs
     def rx_tow_at(self, stamp: float) -> float | None:
+        """Receiver TOW at an engine-fs sample stamp."""
+        return self.rx_tow_at_time(stamp / self.fs)
+
+    def rx_tow_at_time(self, t_s: float) -> float | None:
         if self.t_rx_tow is None:
             return None
-        return self.t_rx_tow + (stamp - self.rx_ref_stamp) / self.fs
+        return self.t_rx_tow + (t_s - self.rx_ref_time_s)
 
     def epoch(self, stamp: int) -> list[EpochObservation]:
-        """Interpolate all anchored channels to the given rx sample stamp."""
-        t_rx = self.rx_tow_at(stamp)
+        """Interpolate all anchored channels to the given rx sample stamp
+        (engine-fs units; use epoch_time for the band-agnostic form)."""
+        return self.epoch_time(stamp / self.fs)
+
+    def epoch_time(self, t_s: float) -> list[EpochObservation]:
+        """Interpolate all anchored channels to receiver stream time t_s."""
+        t_rx = self.rx_tow_at_time(t_s)
         if t_rx is None:
             return []
         out = []
         for ci, st in enumerate(self.ch):
             if not st.anchored or len(st.hist) < 3:
                 continue
+            stamp = t_s * st.fs               # band-local sample stamp
             h = list(st.hist)
             stamps = np.array([e[0] for e in h], dtype=np.float64)
             if not (stamps[0] <= stamp <= stamps[-1]):
@@ -190,13 +237,37 @@ class ObservablesEngine:
             t_tx = t0 + w * (t1 - t0)
             dop = d0 + w * (d1 - d0) if np.isfinite(d0) else d1
             phase = p0 + w * (p1 - p0) if np.isfinite(p0) else np.nan
-            pr = C_LIGHT * (t_rx - t_tx)
+            # week rollover (reference compute_pranges,
+            # hybrid_observables_gs.cc:526-555): T_rx and t_tx may sit on
+            # opposite sides of the 604800 s week boundary
+            dt_wk = t_rx - t_tx
+            if dt_wk > 302400.0:
+                dt_wk -= 604800.0
+            elif dt_wk < -302400.0:
+                dt_wk += 604800.0
+            pr = C_LIGHT * dt_wk
+
+            # Cycle-slip detection (reference hybrid_observables_gs.cc:594):
+            # the carrier phase accumulates integrated Doppler; a slip shows
+            # as a phase step the Doppler history cannot explain.  On a slip
+            # the Hatch filter restarts (a slipped phase would drag the
+            # smoothed pseudorange by wavelength * slip cycles).
+            slipped = False
+            if (
+                np.isfinite(phase) and np.isfinite(st.sm_phase)
+                and np.isfinite(st.last_dop)
+            ):
+                dt_ep = t_s - st.last_epoch_t
+                pred = st.sm_phase + 0.5 * (dop + st.last_dop) * dt_ep
+                slipped = abs(phase - pred) > 5.0 + 0.02 * abs(dop) * dt_ep
+            st.last_dop = dop
+            st.last_epoch_t = t_s
 
             # Hatch carrier smoothing (reference smooth_pseudoranges,
             # hybrid_observables_gs.cc:557): range change between epochs is
             # -wavelength * delta(carrier phase); blend in the code
             # pseudorange with weight 1/N
-            if np.isfinite(phase) and np.isfinite(st.sm_phase):
+            if np.isfinite(phase) and np.isfinite(st.sm_phase) and not slipped:
                 st.sm_count = min(st.sm_count + 1, self.smoothing_epochs)
                 alpha = 1.0 / st.sm_count
                 propagated = st.sm_pr - st.wavelength_m * (
@@ -218,5 +289,6 @@ class ObservablesEngine:
                 carrier_phase_cycles=phase,
                 cn0_dbhz=st.cn0_dbhz,
                 system=st.system,
+                signal=st.signal,
             ))
         return out

@@ -31,6 +31,14 @@ class ObsEpoch:
     cn0_dbhz: float = 0.0
     carrier_freq_hz: float = 1575.42e6
     system: str = "G"                     # 'G' GPS, 'E' Galileo, ...
+    signal: str = "1C"                    # reference signal id ("1C","L5","5X",…)
+
+    @property
+    def tgd_gamma(self) -> float:
+        """Group-delay scale: broadcast TGD/BGD is defined for the L1/E1
+        band; band f gets gamma = (f_L1/f)^2 of it (IS-GPS-200 20.3.3.3.3.2,
+        Galileo ICD 5.1.5; rtklib_pntpos.cc prange() gamma factor)."""
+        return (1575.42e6 / self.carrier_freq_hz) ** 2
 
 
 @dataclass
@@ -53,9 +61,56 @@ class PvtSolution:
     # inter-system clock biases [m] vs the reference system (GGTO analog;
     # rtklib estimates these as extra states in estpos)
     isb_m: dict = field(default_factory=dict)
+    # (system, prn, signal) of each row of residuals_m
+    used: list = field(default_factory=list)
+    # (system, prn, signal) rejected by RAIM
+    raim_rejected: list = field(default_factory=list)
 
 
 def solve_pvt(
+    obs: list[ObsEpoch],
+    ephemerides: dict[int, GpsEphemeris],
+    rx_tow_s: float,
+    iono: KlobucharParams | None = None,
+    x0: np.ndarray | None = None,
+    elevation_mask_rad: float = np.deg2rad(5.0),
+    apply_atmosphere: bool = True,
+    max_iter: int = 10,
+    raim_threshold_m: float = 30.0,
+    raim_max_reject: int = 2,
+) -> PvtSolution:
+    """Single-point LS solve with residual-based RAIM/outlier rejection
+    (reference rtklib_pntpos.cc estpos + raim_fde): if the worst post-fit
+    residual exceeds `raim_threshold_m` and redundancy allows, the worst
+    observation is excluded and the solve repeats.  Set
+    raim_threshold_m <= 0 to disable."""
+    current = list(obs)
+    rejected: list = []
+    while True:
+        sol = _solve_core(
+            current, ephemerides, rx_tow_s, iono=iono, x0=x0,
+            elevation_mask_rad=elevation_mask_rad,
+            apply_atmosphere=apply_atmosphere, max_iter=max_iter,
+        )
+        sol.raim_rejected = list(rejected)
+        if (
+            not sol.valid
+            or raim_threshold_m <= 0
+            or len(rejected) >= raim_max_reject
+            or sol.num_sats <= 5
+            or len(sol.residuals_m) == 0
+        ):
+            return sol
+        worst = int(np.argmax(np.abs(sol.residuals_m)))
+        if abs(sol.residuals_m[worst]) <= raim_threshold_m:
+            return sol
+        key = sol.used[worst]
+        rejected.append(key)
+        current = [o for o in current
+                   if (o.system, o.prn, o.signal) != key]
+
+
+def _solve_core(
     obs: list[ObsEpoch],
     ephemerides: dict[int, GpsEphemeris],
     rx_tow_s: float,
@@ -119,9 +174,15 @@ def solve_pvt(
             p = rot @ p
             v = rot @ v
             sat_pos[i], sat_vel[i] = p, v
-            sat_clk[i], sat_clk_dot[i] = dts + eph.tgd * 0.0, dts_dot
-            # TGD applies to single-frequency L1 pseudoranges:
-            clk_corr = dts - eph.tgd
+            sat_clk[i], sat_clk_dot[i] = dts, dts_dot
+            # group delay: gamma-scaled TGD/BGD for the observation's band.
+            # Galileo E5a pairs with BGD(E1,E5a); everything else rides the
+            # ephemeris' primary TGD (GPS TGD / Galileo BGD(E1,E5b)).
+            if o.system == "E" and o.signal == "5X":
+                gd = o.tgd_gamma * getattr(eph, "bgd_e1e5a", eph.tgd)
+            else:
+                gd = o.tgd_gamma * eph.tgd
+            clk_corr = dts - gd
 
             rho = np.linalg.norm(p - x[:3])
             los = (p - x[:3]) / rho
@@ -135,7 +196,11 @@ def solve_pvt(
                     lat, lon, h = ecef_to_llh(x[:3])
                     atmo = tropo_delay(el, h)
                     if iono is not None:
-                        atmo += klobuchar_delay(iono, lat, lon, az, el, rx_tow_s)
+                        # Klobuchar is an L1 vertical delay model; iono is
+                        # dispersive so band f sees gamma x the L1 delay
+                        atmo += o.tgd_gamma * klobuchar_delay(
+                            iono, lat, lon, az, el, rx_tow_s
+                        )
 
             pred = rho + x[3] - C_LIGHT * clk_corr + atmo
             row = np.zeros(n_par)
@@ -202,4 +267,6 @@ def solve_pvt(
         residuals_m=r_vec - h_mat @ dx,
         tow_s=rx_tow_s,
         isb_m={s: float(x[c]) for s, c in isb_col.items()},
+        used=[(o.system, o.prn, o.signal)
+              for i, o in enumerate(usable) if mask[i]],
     )

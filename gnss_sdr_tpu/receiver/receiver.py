@@ -28,6 +28,7 @@ import numpy as np
 from gnss_sdr_tpu.acquisition import PcpsAcquisition
 from gnss_sdr_tpu.observables.engine import ObservablesEngine
 from gnss_sdr_tpu.pvt.atmosphere import KlobucharParams
+from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT
 from gnss_sdr_tpu.pvt.solver import ObsEpoch, PvtSolution, solve_pvt
 from gnss_sdr_tpu.receiver.plans import SignalPlan, gps_l1ca_plan
 from gnss_sdr_tpu.tracking import ChannelPhase, Tracker
@@ -72,10 +73,17 @@ class SignalGroup:
     def __init__(self, plan: SignalPlan, chan_offset: int) -> None:
         self.plan = plan
         self.offset = chan_offset           # global channel index base
+        acq_table = (plan.acq_code_table if plan.acq_code_table is not None
+                     else plan.code_table)
         self.acq = PcpsAcquisition(
-            plan.acq_conf, plan.code_table, list(plan.search_prns)
+            plan.acq_conf, acq_table, list(plan.search_prns)
         )
-        self.tracker = Tracker(plan.trk_conf, plan.code_table)
+        self.tracker = Tracker(
+            plan.trk_conf, plan.code_table,
+            data_code_table=plan.data_code_table,
+            sec_pilot_table=plan.sec_pilot_table,
+            sec_data_levels=plan.sec_data_levels,
+        )
         self.decoders: dict[int, object] = {}
         self.channel_prn = [0] * plan.num_channels
         # sub-chip (table-unit) code phase by stamp for TOW anchoring
@@ -129,14 +137,23 @@ class Receiver:
         self.ephemerides: dict = {}          # (system, prn) -> ephemeris
         self.iono = KlobucharParams()
         self.status = ReceiverStatus()
-        self._next_epoch: int | None = None
+        self._next_epoch_t: float | None = None   # next obs epoch (stream s)
         self._last_pvt_tow: float = -1e9
         self._last_fix: PvtSolution | None = None
 
-        # sample stream buffer (absolute indexing)
-        self._buf = np.zeros(0, dtype=np.complex64)
-        self._buf_base = 0
-        self._stream_end = 0
+        # per-band sample stream buffers (absolute indexing; one stream per
+        # front-end band, the reference's per-RF-channel SignalSource)
+        self.bands = sorted({p.band for p in plans})
+        self._band_fs = {}
+        for g in self.groups:
+            b = g.plan.band
+            prev = self._band_fs.get(b)
+            if prev is not None and prev != g.plan.fs:
+                raise ValueError(f"band {b}: conflicting sample rates")
+            self._band_fs[b] = g.plan.fs
+        self._bufs = {b: np.zeros(0, dtype=np.complex64) for b in self.bands}
+        self._buf_bases = {b: 0 for b in self.bands}
+        self._stream_ends = {b: 0 for b in self.bands}
 
     # ------------------------------------------------- backward-compat props
     @property
@@ -155,24 +172,30 @@ class Receiver:
     def channel_prn(self):
         return self.groups[0].channel_prn
 
+    @property
+    def _stream_end(self) -> int:
+        """First band's stream end (single-band compat)."""
+        return self._stream_ends[self.bands[0]]
+
     # ---------------------------------------------------------------- stream
-    def feed(self, chunk: np.ndarray) -> None:
-        """Append samples to the stream buffer."""
+    def feed(self, chunk: np.ndarray, band: str | None = None) -> None:
+        """Append samples to a band's stream buffer (default: first band)."""
+        b = self.bands[0] if band is None else band
         chunk = np.asarray(chunk, dtype=np.complex64)
-        self._buf = np.concatenate([self._buf, chunk])
-        self._stream_end += len(chunk)
+        self._bufs[b] = np.concatenate([self._bufs[b], chunk])
+        self._stream_ends[b] += len(chunk)
 
-    def _slice(self, start: int, n: int) -> np.ndarray | None:
-        if start < self._buf_base or start + n > self._stream_end:
+    def _slice(self, band: str, start: int, n: int) -> np.ndarray | None:
+        if start < self._buf_bases[band] or start + n > self._stream_ends[band]:
             return None
-        off = start - self._buf_base
-        return self._buf[off : off + n]
+        off = start - self._buf_bases[band]
+        return self._bufs[band][off : off + n]
 
-    def _trim(self, keep_from: int) -> None:
-        drop = keep_from - self._buf_base
+    def _trim(self, band: str, keep_from: int) -> None:
+        drop = keep_from - self._buf_bases[band]
         if drop > 0:
-            self._buf = self._buf[drop:]
-            self._buf_base = keep_from
+            self._bufs[band] = self._bufs[band][drop:]
+            self._buf_bases[band] = keep_from
 
     # ----------------------------------------------------------- acquisition
     def acquire(self, at_sample: int | None = None) -> dict:
@@ -187,8 +210,8 @@ class Receiver:
     def _acquire_group(self, g: SignalGroup, at_sample: int | None) -> dict:
         plan = g.plan
         n = plan.acq_conf.input_samples
-        start = self._buf_base if at_sample is None else at_sample
-        x = self._slice(start, n)
+        start = self._buf_bases[plan.band] if at_sample is None else at_sample
+        x = self._slice(plan.band, start, n)
         if x is None:
             raise ValueError("not enough samples buffered for acquisition")
 
@@ -219,6 +242,7 @@ class Receiver:
             self.obs.configure_channel(
                 g.offset + ch, plan.code_period_s, plan.table_rate_cps,
                 plan.carrier_freq_hz, plan.system,
+                fs=plan.fs, signal=plan.name,
             )
             started[(plan.system, prn)] = (
                 float(res.doppler_hz[idx]), float(res.delay_samples[idx])
@@ -235,23 +259,50 @@ class Receiver:
                 if not g.active_channels():
                     continue
                 base, w = g.tracker.window_request()
-                window = self._slice(base, w)
+                window = self._slice(g.plan.band, base, w)
                 if window is None:
                     continue
-                result = g.tracker.process(window, base)
+                try:
+                    result = g.tracker.process(window, base)
+                except ValueError:
+                    # one stalled channel must not kill the receiver: drop
+                    # the laggard (flowgraph restarts it via reacquisition)
+                    self._drop_laggard(g)
+                    continue
                 progressed = True
                 self._handle_block(g, result)
             if not progressed:
                 break
             blocks += 1
             self._run_epochs()
-            heads = [int(min(g.tracker.pos_abs[g.active_channels()]))
-                     for g in self.groups if g.active_channels()]
-            self._trim(min(heads) if heads else self._stream_end)
+            for b in self.bands:
+                heads = [int(min(g.tracker.pos_abs[g.active_channels()]))
+                         for g in self.groups
+                         if g.plan.band == b and g.active_channels()]
+                if heads:
+                    keep = min(heads)
+                else:
+                    # idle band: retain one acquisition window's worth
+                    need = max(g.plan.acq_conf.input_samples
+                               for g in self.groups if g.plan.band == b)
+                    keep = max(self._buf_bases[b],
+                               self._stream_ends[b] - need)
+                self._trim(b, keep)
         return self.status
 
-    def _all_active_heads(self) -> list[int]:
-        return [int(min(g.tracker.pos_abs[g.active_channels()]))
+    def _drop_laggard(self, g: SignalGroup) -> None:
+        """Stop the furthest-behind channel of a group (its window demand
+        exceeded the block size; reference: tracking loss -> FSM standby)."""
+        act = g.tracker.active_channels()
+        if not act:
+            return
+        worst = min(act, key=lambda i: g.tracker.pos_abs[i])
+        g.tracker.stop_channel(worst)
+        self.obs.deanchor_keep_signal(g.offset + worst)
+
+    def _active_head_times(self) -> list[float]:
+        """Per-group head positions in stream seconds."""
+        return [int(min(g.tracker.pos_abs[g.active_channels()])) / g.plan.fs
                 for g in self.groups if g.active_channels()]
 
     # -------------------------------------------------------------- per block
@@ -286,25 +337,39 @@ class Receiver:
 
             if prn not in g.decoders:
                 continue
-            # telemetry symbols: extended-integration prompts for multi-
-            # period bits (GPS LNAV: only after bit sync), every period's
-            # prompt for symbol-rate signals (Galileo E1-B: 250 sym/s from
-            # the first tracked period)
-            b = out["boundary"][:, ch]
-            if conf.extend_correlation_symbols > 1:
-                if ctl.phase != ChannelPhase.NARROW:
+            # telemetry symbols: pilot plans pull data-component symbols
+            # (one per sec_len_data periods, on the quadrature axis once the
+            # pilot PLL holds the carrier — reference track_pilot Prompt_Data
+            # extraction); BPSK plans use extended-integration prompts for
+            # multi-period bits (GPS LNAV) or every period's prompt for
+            # symbol-rate signals (Galileo E1-B, 250 sym/s)
+            if conf.track_pilot:
+                if not ctl.sec_locked:
                     continue
-                n_acc = out["acc_samples"][:, ch]
-                full = b & (
-                    n_acc > conf.samples_per_code
-                    * (conf.extend_correlation_symbols - 0.5)
-                )
+                db = out["data_boundary"][:, ch]
+                full = db & (out["data_count"][:, ch] == conf.sec_len_data)
+                if not full.any():
+                    continue
+                sym = out["data_prompt"][full, ch]
+                comp = sym.imag if conf.data_on_quadrature else sym.real
+                signs = np.sign(comp)
+                stamps = result.abs_sample_end[full, ch]
             else:
-                full = b
-            if not full.any():
-                continue
-            signs = np.sign(out["acc_prompt"][full, ch].real)
-            stamps = result.abs_sample_end[full, ch]
+                b = out["boundary"][:, ch]
+                if conf.extend_correlation_symbols > 1:
+                    if ctl.phase != ChannelPhase.NARROW:
+                        continue
+                    n_acc = out["acc_samples"][:, ch]
+                    full = b & (
+                        n_acc > conf.samples_per_code
+                        * (conf.extend_correlation_symbols - 0.5)
+                    )
+                else:
+                    full = b
+                if not full.any():
+                    continue
+                signs = np.sign(out["acc_prompt"][full, ch].real)
+                stamps = result.abs_sample_end[full, ch]
             events = g.decoders[prn].push_symbols(signs, stamps) if hasattr(
                 g.decoders[prn], "push_symbols"
             ) else g.decoders[prn].push_bits(signs, stamps)
@@ -323,22 +388,22 @@ class Receiver:
         cfg = self.cfg
         if self.obs.t_rx_tow is None:
             return
-        interval = int(round(cfg.fs * cfg.obs_interval_ms / 1000.0))
-        if self._next_epoch is None:
-            self._next_epoch = (
-                (self.obs.rx_ref_stamp // interval) + 2
+        interval = cfg.obs_interval_ms / 1000.0
+        if self._next_epoch_t is None:
+            self._next_epoch_t = (
+                np.floor(self.obs.rx_ref_time_s / interval) + 2
             ) * interval
-        heads = self._all_active_heads()
+        heads = self._active_head_times()
         if not heads:
             return
         horizon = min(heads)
-        while self._next_epoch + interval < horizon:
-            stamp = self._next_epoch
-            self._next_epoch += interval
-            epoch_obs = self.obs.epoch(stamp)
+        while self._next_epoch_t + interval < horizon:
+            t_ep = self._next_epoch_t
+            self._next_epoch_t += interval
+            epoch_obs = self.obs.epoch_time(t_ep)
             usable = [o for o in epoch_obs
                       if (o.system, o.prn) in self.ephemerides]
-            t_rx = self.obs.rx_tow_at(stamp)
+            t_rx = self.obs.rx_tow_at_time(t_ep)
             if len(usable) >= 4 and (
                 t_rx - self._last_pvt_tow >= cfg.pvt_interval_ms / 1000.0 - 1e-9
             ):
@@ -350,7 +415,9 @@ class Receiver:
                         doppler_hz=o.doppler_hz,
                         carrier_phase_cycles=o.carrier_phase_cycles,
                         cn0_dbhz=o.cn0_dbhz,
+                        carrier_freq_hz=C_LIGHT / self.obs.ch[o.channel].wavelength_m,
                         system=o.system,
+                        signal=o.signal,
                     )
                     for o in usable
                 ]
@@ -368,7 +435,7 @@ class Receiver:
                     self._last_fix = sol
                     self.status.fixes.append(sol)
                     if self.status.ttff_s is None:
-                        self.status.ttff_s = stamp / cfg.fs
+                        self.status.ttff_s = t_ep
 
     # ------------------------------------------------- compat helper for CLI
     def _idle_channel(self) -> int | None:

@@ -57,6 +57,11 @@ class ChannelControl:
     sec_hist: list = field(default_factory=list)   # per-period prompt signs
     sec_hist_start: int = 0          # period index of sec_hist[0]
     sec_locked: bool = False
+    # no loss-of-lock verdicts before this period index: mode switches
+    # (engage extended/secondary) restart the transient clock — the narrow
+    # loop needs ~1/w0 seconds to unwind the phase error it inherits
+    # (reference resets its fail counters on state transitions)
+    warmup_until_period: int = 0
 
 
 @dataclass
@@ -178,6 +183,9 @@ class Tracker:
         self.pos_abs[ch] = start
         self.ctl[ch] = ChannelControl(phase=ChannelPhase.WIDE, prn=prn)
         self.ctl[ch].bit_hist = np.zeros(conf.codes_per_bit, dtype=np.int64)
+        self.ctl[ch].warmup_until_period = int(
+            conf.lock_warmup_s / conf.code_period_s
+        )
 
         fd = float(acq_doppler_hz)
         code_freq = conf.code_rate_cps * (1.0 + fd / conf.carrier_freq_hz)
@@ -289,12 +297,16 @@ class Tracker:
 
         # Pilot plans: acquire the secondary code from per-period prompt
         # signs (reference acquire_secondary, dll_pll_veml_tracking.cc:1120)
+        # wait for the Costas loop to settle after the FLL hands over
+        # (engaging the narrow loop mid-pull-in hands it a large phase
+        # error it takes ~1/w0 seconds to unwind)
+        sec_start_s = conf.pull_in_time_s + 0.15
         if (
             conf.track_pilot
             and conf.sec_len_pilot > 1
             and ctl.phase == ChannelPhase.WIDE
             and not ctl.sec_locked
-            and ctl.total_periods * conf.code_period_s > conf.pull_in_time_s
+            and ctl.total_periods * conf.code_period_s > sec_start_s
         ):
             if not ctl.sec_hist:
                 ctl.sec_hist_start = first_period
@@ -331,6 +343,10 @@ class Tracker:
         ):
             ctl.phase = ChannelPhase.NARROW
             ctl.prompt_hist = []
+            ctl.warmup_until_period = ctl.total_periods + int(
+                max(conf.lock_warmup_s, 8.0 / conf.pll_bw_narrow_hz)
+                / conf.code_period_s
+            )
             s = self.state
             self.state = s._replace(
                 narrow=s.narrow.at[ch].set(True),
@@ -382,9 +398,7 @@ class Tracker:
                     ctl.cn0_dbhz < conf.cn0_min_dbhz
                     or ctl.carrier_lock < conf.carrier_lock_threshold
                 )
-                in_warmup = (
-                    ctl.total_periods * conf.code_period_s < conf.lock_warmup_s
-                )
+                in_warmup = ctl.total_periods < ctl.warmup_until_period
                 ctl.lock_fail_blocks = (
                     0 if (in_warmup or not bad) else ctl.lock_fail_blocks + 1
                 )
@@ -418,6 +432,10 @@ class Tracker:
         ctl.sec_locked = True
         ctl.sec_hist = []
         ctl.prompt_hist = []
+        ctl.warmup_until_period = ctl.total_periods + int(
+            max(conf.lock_warmup_s, 8.0 / conf.pll_bw_narrow_hz)
+            / conf.code_period_s
+        )
         s = self.state
         self.state = s._replace(
             sec_idx=s.sec_idx.at[ch].set(int(idx_next)),
@@ -445,6 +463,10 @@ class Tracker:
         # the C/N0 history holds 1-period prompts; the coherent length is
         # about to change, so restart the estimate on extended prompts only
         ctl.prompt_hist = []
+        ctl.warmup_until_period = ctl.total_periods + int(
+            max(conf.lock_warmup_s, 8.0 / conf.pll_bw_narrow_hz)
+            / conf.code_period_s
+        )
         # periods since the last bit edge, counted at the *next* period
         since_edge = (ctl.total_periods - ctl.bit_phase) % conf.codes_per_bit
         s = self.state
