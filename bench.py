@@ -1,19 +1,28 @@
-"""Tracking-correlator throughput benchmark (driver-run, real chip).
+"""Receiver benchmark (driver-run, real chip). Prints ONE JSON line.
 
-Metric: aggregate tracking throughput in Msamples/s across a 32-channel
-batch (carrier wipeoff + 3-tap soft-replica correlation + loop closure per
-PRN period — the receiver's hot path). vs_baseline is the real-time factor
-for a 32-channel 2.6 Msps receiver: value / (32 * 2.6), i.e. how many
-fully-loaded receivers one chip sustains (the reference's qualitative
-baseline is ~1x real time on a desktop CPU core set, README.md:1170-1176).
-
-Prints exactly one JSON line.
+Metrics in the single line:
+- value/metric: aggregate tracking-kernel throughput in Msamples/s across a
+  32-channel batch (carrier wipeoff + 3-tap soft-replica correlation + loop
+  closure per PRN period — the receiver's hot path).
+- vs_baseline: ratio of that throughput to the reference's own C/VOLK
+  correlator kernel (volk_gnsssdr_32fc_32f_rotator_dot_prod_32fc_xn, AVX
+  variant, compiled from the reference tree and timed on this host's CPU by
+  bench_volk/build.sh) — BASELINE.md's ">= 10x the C++/VOLK baseline".
+- volk_msps: that measured baseline (0 if the reference tree is absent).
+- e2e_msps / e2e_realtime: full-receiver throughput (feed -> batched
+  tracking -> telemetry -> observables -> PVT) over a simulated 6-satellite
+  capture, and its real-time factor at 2.6 Msps.
+- est_tflops / mfu_pct: achieved FLOP/s from a counted per-sample flop
+  model of the kernel (~88 flop/sample/channel), and the fraction of a
+  nominal 197 Tflop/s chip. The correlator is gather/VPU-bound by nature —
+  MFU is expected to be small; the meaningful target is the VOLK ratio.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -21,8 +30,28 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# flop model per (sample, channel): carrier phase+sincos ~14, complex
+# rotate+mask 8, per-tap (3): interp ramps ~12 + mul-acc 4 -> 48, data sums
+# + loop updates amortized ~18.
+FLOPS_PER_SAMPLE = 88.0
+NOMINAL_PEAK_TFLOPS = 197.0
 
-def main() -> None:
+
+def volk_baseline_msps() -> float:
+    script = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "bench_volk", "build.sh")
+    if not (os.path.exists(script) and os.path.isdir("/root/reference")):
+        return 0.0
+    try:
+        out = subprocess.run(
+            ["bash", script], capture_output=True, text=True, timeout=300
+        ).stdout.strip().splitlines()
+        return float(json.loads(out[-1])["msamples_per_s"])
+    except Exception:
+        return 0.0
+
+
+def kernel_bench() -> float:
     import jax
     import jax.numpy as jnp
 
@@ -64,28 +93,61 @@ def main() -> None:
         return new_state, outs.n_samples.astype(jnp.int32)
 
     run = jax.jit(run_once)
-
-    # compile + warmup
     st, n = run(state, window, codes, pos0)
     jax.block_until_ready(n)
 
     iters = 40
     t0 = time.perf_counter()
-    total_samples = 0
     for _ in range(iters):
         st, n = run(st, window, codes, pos0)      # rewind window pointer
     st = jax.block_until_ready(st)
     dt = time.perf_counter() - t0
-    # samples consumed: steps * ~samples_per_code per channel per call
     total_samples = iters * channels * steps * conf.samples_per_code
+    return total_samples / dt / 1e6
 
-    msps = total_samples / dt / 1e6
-    realtime_32ch = msps / (channels * fs / 1e6)
+
+def e2e_bench() -> tuple[float, float]:
+    """Full-chain throughput: Msamples/s through the Receiver and the
+    real-time factor at the capture rate."""
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.simulate.scenario import GpsScenario, ScenarioConfig
+
+    fs = 2.6e6
+    dur = 6
+    scen = GpsScenario(ScenarioConfig(
+        fs=fs, tow_start_s=7314.0, duration_s=float(dur), cn0_dbhz=46.0,
+        max_sats=6, seed=1,
+    ))
+    chunks = [scen.generate(i * int(fs), int(fs)) for i in range(dur)]
+    rx = Receiver(ReceiverConfig(fs=fs, num_channels=6))
+    # warmup second: compile acquisition + tracking programs
+    rx.feed(chunks[0])
+    rx.acquire()
+    rx.run()
+    t0 = time.perf_counter()
+    for i in range(1, dur):
+        rx.feed(chunks[i])
+        rx.run()
+    dt = time.perf_counter() - t0
+    samples = (dur - 1) * fs
+    return samples / dt / 1e6, (samples / fs) / dt
+
+
+def main() -> None:
+    volk = volk_baseline_msps()
+    msps = kernel_bench()
+    e2e_msps, e2e_rt = e2e_bench()
+    est_tflops = msps * 1e6 * FLOPS_PER_SAMPLE / 1e12
     print(json.dumps({
         "metric": "tracking_throughput_32ch",
         "value": round(msps, 2),
         "unit": "Msamples/s",
-        "vs_baseline": round(realtime_32ch, 2),
+        "vs_baseline": round(msps / volk, 1) if volk > 0 else 0.0,
+        "volk_msps": round(volk, 1),
+        "e2e_msps": round(e2e_msps, 2),
+        "e2e_realtime": round(e2e_rt, 2),
+        "est_tflops": round(est_tflops, 3),
+        "mfu_pct": round(100.0 * est_tflops / NOMINAL_PEAK_TFLOPS, 3),
     }))
 
 

@@ -23,77 +23,119 @@ from gnss_sdr_tpu.conditioner import SignalConditioner
 
 from gnss_sdr_tpu.config.configuration import FileConfiguration
 from gnss_sdr_tpu.receiver.factory import (
-    get_acquisition_conf,
-    get_channel_counts,
     get_pvt_outputs,
     get_signal_conditioner,
+    get_signal_plans,
     get_signal_source,
-    get_tracking_conf,
 )
 from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
 
+_BAND_ORDER = ("L1", "L5")
+
+
+def _build_chains(cfg):
+    """One (source, conditioner, conditioned_fs) per RF chain
+    (gnss_flowgraph.cc instantiates source+conditioner per RF channel)."""
+    n_rf = cfg.property("SignalSource.RF_channels", 1)
+    chains = []
+    for i in range(n_rf):
+        suffix = str(i) if n_rf > 1 else ""
+        src_role = f"SignalSource{suffix}" if suffix else "SignalSource"
+        cond_role = f"SignalConditioner{suffix}" if suffix else "SignalConditioner"
+        source = get_signal_source(cfg, role=src_role)
+        conditioner = get_signal_conditioner(cfg, role=cond_role, suffix=suffix)
+        # sources decode their item format to complex64 already, so the
+        # conditioner's dtype adapter must not re-interpret the stream (the
+        # adapter stage exists for pipelines that ship raw integers to device)
+        if isinstance(conditioner, SignalConditioner) and (
+            conditioner.cfg.input_format != "passthrough"
+        ):
+            conditioner = SignalConditioner(
+                replace(conditioner.cfg, input_format="passthrough")
+            )
+        if isinstance(conditioner, SignalConditioner):
+            ccfg = conditioner.cfg
+            fs_out = ccfg.fs_out or ccfg.fs_in / ccfg.decimation
+        else:
+            fs_out = source.fs
+        if n_rf == 1:
+            fs_out = cfg.property("GNSS-SDR.internal_fs_sps", fs_out)
+        chains.append((source, conditioner, float(fs_out)))
+    return chains
+
 
 def run_from_config(cfg, max_seconds: float | None = None):
-    """Run the full receiver from a ConfigurationInterface; returns status."""
-    source = get_signal_source(cfg)
-    conditioner = get_signal_conditioner(cfg)
-    # sources decode their item format to complex64 already, so the
-    # conditioner's dtype adapter must not re-interpret the stream (the
-    # adapter stage exists for pipelines that ship raw integers to device)
-    if isinstance(conditioner, SignalConditioner) and (
-        conditioner.cfg.input_format != "passthrough"
-    ):
-        conditioner = SignalConditioner(
-            replace(conditioner.cfg, input_format="passthrough")
-        )
-    fs_internal = cfg.property("GNSS-SDR.internal_fs_sps", source.fs)
-    counts = get_channel_counts(cfg)
-    n_channels = sum(counts.values())
-    acq_conf = get_acquisition_conf(cfg, fs=fs_internal)
-    trk_conf = get_tracking_conf(cfg, fs=fs_internal, max_channels=n_channels)
+    """Run the full receiver from a ConfigurationInterface; returns status.
 
+    Builds one SignalPlan per Channels_XX group (multi-constellation /
+    multi-band); RF chain i feeds the i-th band in L1, L5 order
+    (gnss_block_factory.cc GetChannels grouping + per-RF-channel sources).
+    """
+    chains = _build_chains(cfg)
+    # assign chains to bands in canonical order of the bands the plans need
+    probe_plans = get_signal_plans(
+        cfg, {b: chains[min(i, len(chains) - 1)][2]
+              for i, b in enumerate(_BAND_ORDER)})
+    bands_needed = sorted({p.band for p in probe_plans},
+                          key=_BAND_ORDER.index)
+    if len(chains) < len(bands_needed):
+        raise ValueError(
+            f"config needs {len(bands_needed)} RF chains for bands "
+            f"{bands_needed}, got SignalSource.RF_channels={len(chains)}")
+    chain_band = {bands_needed[i]: chains[i] for i in range(len(bands_needed))}
+    fs_by_band = {b: c[2] for b, c in chain_band.items()}
+    plans = get_signal_plans(cfg, fs_by_band)
+
+    fs_ref = fs_by_band[plans[0].band]
     rx_cfg = ReceiverConfig(
-        fs=fs_internal,
-        num_channels=n_channels,
-        doppler_max_hz=acq_conf.doppler_max_hz,
-        doppler_step_hz=acq_conf.doppler_step_hz,
-        acq_dwells=acq_conf.max_dwells,
-        acq_pfa=acq_conf.pfa,
+        fs=fs_ref,
+        num_channels=sum(p.num_channels for p in plans),
         obs_interval_ms=cfg.property("GNSS-SDR.observable_interval_ms", 20),
         pvt_interval_ms=cfg.property("PVT.output_rate_ms", 100),
-        extend_correlation_symbols=trk_conf.extend_correlation_symbols,
-        pll_bw_hz=trk_conf.pll_bw_hz,
-        dll_bw_hz=trk_conf.dll_bw_hz,
-        pll_bw_narrow_hz=trk_conf.pll_bw_narrow_hz,
-        dll_bw_narrow_hz=trk_conf.dll_bw_narrow_hz,
-        enable_fll_pull_in=trk_conf.enable_fll_pull_in,
-        fll_bw_hz=trk_conf.fll_bw_hz,
     )
-    receiver = Receiver(rx_cfg)
+    receiver = Receiver(rx_cfg, plans=plans)
     outputs = get_pvt_outputs(cfg)
 
     chunk = 1 << 17
     acq_done = False
-    reacq_at = 0
-    budget = int(max_seconds * fs_internal) if max_seconds else None
+    reacq_t = 0.0
     printed = 0
-    while not source.exhausted():
-        raw = source.read(chunk)
-        if not len(raw):
+
+    def stream_t() -> float:
+        return min(receiver._stream_ends[b] / fs_by_band[b]
+                   for b in receiver.bands)
+
+    def ready_for_acq() -> bool:
+        return all(
+            receiver._stream_ends[g.plan.band]
+            >= g.plan.acq_conf.input_samples
+            for g in receiver.groups
+        )
+
+    while True:
+        got_any = False
+        for b, (source, conditioner, _) in chain_band.items():
+            if source.exhausted():
+                continue
+            raw = source.read(chunk)
+            if not len(raw):
+                continue
+            got_any = True
+            x = conditioner.process(raw)
+            receiver.feed(x.astype(np.complex64), band=b)
+        if not got_any:
             break
-        x = conditioner.process(raw)
-        receiver.feed(x.astype(np.complex64))
-        if budget and receiver._stream_end > budget:
+        if max_seconds and stream_t() > max_seconds:
             break
-        if not acq_done and receiver._stream_end >= receiver.acq_conf.input_samples:
+        if not acq_done and ready_for_acq():
             receiver.acquire()
             acq_done = True
-            reacq_at = receiver._stream_end
+            reacq_t = stream_t()
         receiver.run()
         # periodic re-acquisition on idle channels (acquisition_manager idle
         # tick analog, gnss_flowgraph.cc:1698)
-        if acq_done and receiver._stream_end - reacq_at > int(2.0 * fs_internal):
-            reacq_at = receiver._stream_end
+        if acq_done and stream_t() - reacq_t > 2.0:
+            reacq_t = stream_t()
             if receiver._idle_channel() is not None:
                 try:
                     receiver.acquire()

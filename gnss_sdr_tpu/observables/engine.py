@@ -169,14 +169,16 @@ class ObservablesEngine:
             n = round(dt * periods_per_s)
             # TOW-consistency check (reference cross-checks interpolated TOW
             # against TOW_at_current_symbol_ms): a stamp gap that is not a
-            # clean whole number of periods, or an absurdly large jump,
-            # means periods were dropped — propagating round() here would
-            # silently slip TOW by whole code periods (~300 km of
-            # pseudorange per ms).  De-anchor and wait for the next
-            # telemetry anchor instead.
-            if n < 1 or n > 1024 or abs(dt - n * st.code_period_s) > (
-                0.05 * st.code_period_s
-            ):
+            # clean whole number of periods means periods were dropped —
+            # propagating round() here would silently slip TOW by whole
+            # code periods (~300 km of pseudorange per ms).  De-anchor and
+            # wait for the next telemetry anchor instead.  Large n is
+            # normal right after an anchor (telemetry decoders buffer
+            # several seconds before the message resolves), and code
+            # Doppler legitimately skews dt by ~|f_d|/f_carrier (up to
+            # ~2e-5 of the gap) — the tolerance scales with the gap.
+            tol = 0.05 * st.code_period_s + 2.0e-5 * dt
+            if n < 1 or n > 60_000 or abs(dt - n * st.code_period_s) > tol:
                 self.deanchor_keep_signal(ch)
                 return
             st.t_tx += n * st.code_period_s

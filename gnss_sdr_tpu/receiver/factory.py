@@ -121,15 +121,23 @@ def get_signal_source(cfg: ConfigurationInterface, role: str = "SignalSource"):
 
 # -------------------------------------------------------- signal conditioner
 def get_signal_conditioner(cfg: ConfigurationInterface,
-                           role: str = "SignalConditioner"):
+                           role: str = "SignalConditioner",
+                           suffix: str = ""):
+    """`suffix` numbers the sub-roles for multi-RF-chain configs
+    (SignalConditioner0 reads DataTypeAdapter0/InputFilter0/Resampler0, as
+    the reference factory does per RF channel)."""
     impl = cfg.property(f"{role}.implementation", "Signal_Conditioner")
     if impl == "Pass_Through":
         return PassThrough()
     if impl not in ("Signal_Conditioner", "Array_Signal_Conditioner"):
         raise UnknownImplementation(f"{role}.implementation={impl!r}")
 
-    fs_in = cfg.property("SignalSource.sampling_frequency", 4_000_000.0)
-    adapter_impl = cfg.property("DataTypeAdapter.implementation", "Pass_Through")
+    fs_in = cfg.property(f"SignalSource{suffix}.sampling_frequency",
+                         cfg.property("SignalSource.sampling_frequency",
+                                      4_000_000.0))
+    adapter_impl = cfg.property(
+        f"DataTypeAdapter{suffix}.implementation",
+        cfg.property("DataTypeAdapter.implementation", "Pass_Through"))
     adapter_map = {
         "Ibyte_To_Complex": "ibyte",
         "Ibyte_To_Cbyte": "ibyte",
@@ -144,7 +152,13 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
         raise UnknownImplementation(
             f"DataTypeAdapter.implementation={adapter_impl!r}")
 
-    filt_impl = cfg.property("InputFilter.implementation", "Pass_Through")
+    def p(rolebase: str, prop: str, default):
+        key = f"{rolebase}{suffix}.{prop}"
+        if suffix and cfg.has_property(key):
+            return cfg.property(key, default)
+        return cfg.property(f"{rolebase}.{prop}", default)
+
+    filt_impl = p("InputFilter", "implementation", "Pass_Through")
     if_freq = 0.0
     taps = 0
     band = None
@@ -155,17 +169,19 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
         # number_of_taps is the literal FIR length in the reference
         # (freq_xlating_fir_filter.cc); honor it verbatim for config
         # compatibility, defaulting to a longer filter only when absent
-        if cfg.has_property("InputFilter.taps_length"):
-            taps = cfg.property("InputFilter.taps_length", 65)
-        elif cfg.has_property("InputFilter.number_of_taps"):
-            taps = cfg.property("InputFilter.number_of_taps", 5)
+        if cfg.has_property(f"InputFilter{suffix}.taps_length") or (
+                not suffix and cfg.has_property("InputFilter.taps_length")):
+            taps = p("InputFilter", "taps_length", 65)
+        elif cfg.has_property(f"InputFilter{suffix}.number_of_taps") or (
+                not suffix and cfg.has_property("InputFilter.number_of_taps")):
+            taps = p("InputFilter", "number_of_taps", 5)
         else:
             taps = 65
-        band_end = cfg.property("InputFilter.band1_end", 0.45) * fs_in
+        band_end = p("InputFilter", "band1_end", 0.45) * fs_in
         band = (0.0, band_end)
         if filt_impl == "Freq_Xlating_Fir_Filter":
-            if_freq = cfg.property("InputFilter.IF", 0.0)
-            decim = cfg.property("InputFilter.decimation_factor", 1)
+            if_freq = p("InputFilter", "IF", 0.0)
+            decim = p("InputFilter", "decimation_factor", 1)
     elif filt_impl in ("Notch_Filter", "Notch_Filter_Lite"):
         notch = True
     elif filt_impl == "Pulse_Blanking_Filter":
@@ -173,10 +189,10 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
     elif filt_impl != "Pass_Through":
         raise UnknownImplementation(f"InputFilter.implementation={filt_impl!r}")
 
-    res_impl = cfg.property("Resampler.implementation", "Pass_Through")
+    res_impl = p("Resampler", "implementation", "Pass_Through")
     fs_out = None
     if res_impl in ("Direct_Resampler", "Mmse_Resampler"):
-        fs_out = cfg.property("Resampler.sample_freq_out", fs_in)
+        fs_out = p("Resampler", "sample_freq_out", fs_in)
         if fs_out == fs_in / decim:
             fs_out = None
     elif res_impl != "Pass_Through":
@@ -238,7 +254,6 @@ def get_acquisition_conf(
 # ------------------------------------------------------------- tracking conf
 _TRK_IMPLS = {
     "GPS_L1_CA_DLL_PLL_Tracking",
-    "GPS_L1_CA_KF_Tracking",
     "Galileo_E1_DLL_PLL_VEML_Tracking",
 }
 
@@ -342,3 +357,109 @@ def get_channel_counts(cfg: ConfigurationInterface) -> dict[str, int]:
     if not out:
         out["1C"] = cfg.property("Channels.count", 8)
     return out
+
+
+# -------------------------------------------------------------- signal plans
+# signal id -> (accepted Acquisition impls, accepted Tracking impls,
+#               plan factory name in receiver.plans)
+_PLAN_TABLE = {
+    "1C": (
+        {"GPS_L1_CA_PCPS_Acquisition",
+         "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler"},
+        {"GPS_L1_CA_DLL_PLL_Tracking"},
+        "gps_l1ca_plan",
+    ),
+    "1B": (
+        {"Galileo_E1_PCPS_Ambiguous_Acquisition"},
+        {"Galileo_E1_DLL_PLL_VEML_Tracking"},
+        "galileo_e1b_plan",
+    ),
+    "L5": (
+        {"GPS_L5i_PCPS_Acquisition"},
+        {"GPS_L5_DLL_PLL_Tracking", "GPS_L5i_DLL_PLL_Tracking"},
+        "gps_l5_plan",
+    ),
+    "5X": (
+        {"Galileo_E5a_Pcps_Acquisition",
+         "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF"},
+        {"Galileo_E5a_DLL_PLL_Tracking"},
+        "galileo_e5a_plan",
+    ),
+}
+
+_DEFAULT_IMPLS = {
+    "1C": ("GPS_L1_CA_PCPS_Acquisition", "GPS_L1_CA_DLL_PLL_Tracking"),
+    "1B": ("Galileo_E1_PCPS_Ambiguous_Acquisition",
+           "Galileo_E1_DLL_PLL_VEML_Tracking"),
+    "L5": ("GPS_L5i_PCPS_Acquisition", "GPS_L5_DLL_PLL_Tracking"),
+    "5X": ("Galileo_E5a_Pcps_Acquisition", "Galileo_E5a_DLL_PLL_Tracking"),
+}
+
+
+def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
+                    num_channels: int):
+    """Build one SignalPlan for signal group `sig` from its per-signal
+    Acquisition_XX / Tracking_XX roles (gnss_block_factory.cc GetAcqBlock/
+    GetTrkBlock name resolution)."""
+    from gnss_sdr_tpu.receiver import plans as plan_mod
+
+    if sig not in _PLAN_TABLE:
+        raise UnknownImplementation(f"Channels_{sig}: unsupported signal")
+    acq_ok, trk_ok, factory_name = _PLAN_TABLE[sig]
+    acq_default, trk_default = _DEFAULT_IMPLS[sig]
+    acq_impl = cfg.property(f"Acquisition_{sig}.implementation", acq_default)
+    trk_impl = cfg.property(f"Tracking_{sig}.implementation", trk_default)
+    if acq_impl not in acq_ok:
+        raise UnknownImplementation(
+            f"Acquisition_{sig}.implementation={acq_impl!r}")
+    if trk_impl not in trk_ok:
+        raise UnknownImplementation(
+            f"Tracking_{sig}.implementation={trk_impl!r}")
+
+    make = getattr(plan_mod, factory_name)
+    kwargs = dict(fs=fs, num_channels=num_channels)
+
+    def opt(key: str, prop: str, typed_default):
+        """Pass the property through only when configured (typed by the
+        default), so the plan factory's per-signal defaults apply."""
+        if cfg.has_property(prop):
+            kwargs[key] = cfg.property(prop, typed_default)
+
+    opt("doppler_max_hz", f"Acquisition_{sig}.doppler_max", 5000.0)
+    opt("doppler_step_hz", f"Acquisition_{sig}.doppler_step", 250.0)
+    opt("acq_pfa", f"Acquisition_{sig}.pfa", 1e-3)
+    opt("pll_bw_hz", f"Tracking_{sig}.pll_bw_hz", 0.0)
+    opt("dll_bw_hz", f"Tracking_{sig}.dll_bw_hz", 0.0)
+    opt("pll_bw_narrow_hz", f"Tracking_{sig}.pll_bw_narrow_hz", 0.0)
+    opt("dll_bw_narrow_hz", f"Tracking_{sig}.dll_bw_narrow_hz", 0.0)
+    opt("enable_fll_pull_in", f"Tracking_{sig}.enable_fll_pull_in", False)
+    opt("fll_bw_hz", f"Tracking_{sig}.fll_bw_hz", 0.0)
+    if sig != "1B":
+        opt("acq_dwells", f"Acquisition_{sig}.max_dwells", 0)
+        opt("extend_correlation_symbols",
+            f"Tracking_{sig}.extend_correlation_symbols", 0)
+    else:
+        opt("early_late_space_chips",
+            f"Tracking_{sig}.early_late_space_chips", 0.0)
+    return make(**kwargs)
+
+
+def get_signal_plans(cfg: ConfigurationInterface,
+                     fs_by_band: dict[str, float] | float):
+    """One SignalPlan per Channels_XX group (gnss_block_factory.cc
+    GetChannels). `fs_by_band` maps band key ("L1"/"L5") to the conditioned
+    sample rate of its RF chain, or a single rate for single-band configs."""
+    counts = get_channel_counts(cfg)
+    plans = []
+    for sig, n in counts.items():
+        band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5"}.get(sig, "L1")
+        if isinstance(fs_by_band, dict):
+            if band not in fs_by_band:
+                raise ValueError(
+                    f"Channels_{sig} needs band {band}, but no RF chain "
+                    f"provides it (have {sorted(fs_by_band)})")
+            fs = fs_by_band[band]
+        else:
+            fs = fs_by_band
+        plans.append(get_signal_plan(cfg, sig, fs, n))
+    return plans

@@ -311,8 +311,10 @@ def galileo_e5a_plan(
     from gnss_sdr_tpu.constants import galileo_e5a as E5A
     from gnss_sdr_tpu.telemetry.fnav import FnavDecoder
 
-    pilot_table = galileo_e5aq_code_table()
-    data_table = galileo_e5ai_code_table()
+    # code tables carry 50 PRN rows but CS100 assignments exist for 1..47
+    # (Galileo OS SIS ICD Table 19); search lists stay within 1..36
+    pilot_table = galileo_e5aq_code_table()[:47]
+    data_table = galileo_e5ai_code_table()[:47]
     sec_pilot = np.stack([
         e5aq_secondary_levels(p + 1) for p in range(pilot_table.shape[0])
     ])

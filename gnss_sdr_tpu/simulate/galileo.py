@@ -86,6 +86,7 @@ class GalileoScenarioConfig:
     noise: bool = True
     seed: int = 0
     grid_step_s: float = 0.02
+    tropo: bool = False                  # simulate Saastamoinen delay
 
 
 class GalileoScenario:
@@ -126,6 +127,8 @@ class GalileoScenario:
             syms = enc.symbols(num_pages=n_pages)
             self._signs[p] = (1.0 - 2.0 * syms.astype(np.float64))
         self._grids: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._grids_phase: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._geo: dict[int, dict] = {}
         self._cboc: dict[int, np.ndarray] = {}
         self._build_grids()
 
@@ -148,8 +151,14 @@ class GalileoScenario:
         cfg = self.cfg
         n_grid = int(np.ceil(cfg.duration_s / cfg.grid_step_s)) + 3
         t_grid = np.arange(n_grid) * cfg.grid_step_s
+        from gnss_sdr_tpu.pvt.atmosphere import tropo_delay
+        from gnss_sdr_tpu.pvt.coords import az_el, ecef_to_llh
+        from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT
+
+        _, _, hgt = ecef_to_llh(self.rx_ecef)
         for prn in self.prns:
-            ttx = np.empty(n_grid)
+            ttx_sv = np.empty(n_grid)
+            tropo_m = np.zeros(n_grid)
             for i, tg in enumerate(t_grid):
                 tr = truth_measurement(
                     self.ephs[prn], self.rx_ecef,
@@ -157,10 +166,19 @@ class GalileoScenario:
                     rx_clock_bias_s=cfg.rx_clock_bias_s
                     + cfg.rx_clock_drift_ss * tg,
                 )
-                # E1 code rides the SV clock timeline minus the E1 broadcast
-                # group delay (BGD E1/E5b), mirroring the GPS TGD convention
-                ttx[i] = tr["t_tx_sv"] - self.ephs[prn].tgd
+                ttx_sv[i] = tr["t_tx_sv"]
+                if cfg.tropo:
+                    _, el = az_el(self.rx_ecef, tr["sat_pos_rx_frame"])
+                    tropo_m[i] = tropo_delay(el, hgt)
+            self._geo[prn] = {
+                "t": t_grid, "ttx_sv": ttx_sv,
+                "iono_m": np.zeros(n_grid), "tropo_m": tropo_m,
+            }
+            # E1 code rides the SV clock timeline minus the E1 broadcast
+            # group delay (BGD E1/E5b), mirroring the GPS TGD convention
+            ttx = ttx_sv - self.ephs[prn].tgd - tropo_m / C_LIGHT
             self._grids[prn] = (t_grid, ttx)
+            self._grids_phase[prn] = (t_grid, ttx)
             self._cboc[prn] = cboc_expand(galileo_e1b_code(prn))
 
     # --------------------------------------------------------------- generate

@@ -54,12 +54,25 @@ class _SecondaryBand:
         self.noise = noise
         self.seed = primary.cfg.seed + seed_offset
         self.prns = list(primary.prns)
-        # band code timeline: the primary grid holds t_tx_sv - gd_primary;
-        # shift to t_tx_sv - gd_band per satellite
+        # band timelines from the primary's geometric grids: SV timeline
+        # minus the band group delay, plus the band-scaled atmosphere
+        # (iono is dispersive: gamma x the L1 delay; tropo is not)
+        gamma = (L1_HZ / self.freq_hz) ** 2
         self._grids: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._grids_phase: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        c = 299_792_458.0
         for prn in self.prns:
-            tg, ttx = primary._grids[prn]
-            self._grids[prn] = (tg, ttx + self._group_delay_shift(prn))
+            geo = primary._geo[prn]
+            gd = self._band_group_delay(prn)
+            base = geo["ttx_sv"] - gd
+            self._grids[prn] = (
+                geo["t"],
+                base - (geo["tropo_m"] + gamma * geo["iono_m"]) / c,
+            )
+            self._grids_phase[prn] = (
+                geo["t"],
+                base - (geo["tropo_m"] - gamma * geo["iono_m"]) / c,
+            )
         self._signs: dict[int, np.ndarray] = {}
         self._build_symbols()
 

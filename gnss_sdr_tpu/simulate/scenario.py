@@ -29,13 +29,16 @@ import numpy as np
 
 from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code
 from gnss_sdr_tpu.constants import gps_l1_ca as G
+from gnss_sdr_tpu.pvt.atmosphere import KlobucharParams, klobuchar_delay, tropo_delay
+from gnss_sdr_tpu.pvt.coords import az_el
+from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT
 from gnss_sdr_tpu.simulate.constellation import (
     GPS_L1_HZ,
     make_constellation,
     truth_measurement,
     visible_sats,
 )
-from gnss_sdr_tpu.telemetry.lnav import GpsEphemeris
+from gnss_sdr_tpu.telemetry.lnav import GpsAlmanac, GpsEphemeris, GpsIonoUtc
 from gnss_sdr_tpu.telemetry.lnav_encode import LnavEncoder
 
 
@@ -55,6 +58,36 @@ class ScenarioConfig:
     noise: bool = True
     seed: int = 0
     grid_step_s: float = 0.02
+    # atmosphere: when iono_utc is given, Klobuchar group delay/phase
+    # advance is simulated on every signal and its parameters are broadcast
+    # in subframe 4 page 18 (every frame — real pages recur every 12.5 min,
+    # longer than a test capture); tropo (Saastamoinen) is simulated
+    # unconditionally when `tropo` is set.
+    iono_utc: GpsIonoUtc | None = None
+    tropo: bool = False
+    broadcast_almanac: bool = True
+
+
+def almanac_from_ephemeris(eph: GpsEphemeris) -> GpsAlmanac:
+    """Coarse almanac derived from a full ephemeris (what the operational
+    segment broadcasts: same orbit, truncated precision)."""
+    return GpsAlmanac(
+        prn=eph.prn,
+        ecc=eph.ecc,
+        toa=eph.toe,
+        delta_i=eph.i0 - 0.30 * PI_ICD,
+        omega_dot=eph.omega_dot,
+        sv_health=eph.sv_health,
+        sqrt_a=eph.sqrt_a,
+        omega0=eph.omega0,
+        omega=eph.omega,
+        m0=eph.m0,
+        af0=eph.af0,
+        af1=eph.af1,
+    )
+
+
+PI_ICD = 3.1415926535898
 
 
 class GpsScenario:
@@ -80,8 +113,23 @@ class GpsScenario:
             np.deg2rad(cfg.min_elevation_deg),
         )
         self.prns = vis[: cfg.max_sats]
-        self.encoders = {p: LnavEncoder(self.ephs[p]) for p in self.prns}
+        almanacs = {}
+        if cfg.broadcast_almanac:
+            almanacs = {p: almanac_from_ephemeris(self.ephs[p])
+                        for p in self.ephs}
+        self.encoders = {
+            p: LnavEncoder(
+                self.ephs[p], iono_utc=cfg.iono_utc, almanacs=almanacs,
+                sf4_page18_every_frame=cfg.iono_utc is not None,
+            )
+            for p in self.prns
+        }
+        # per-PRN grids: code timeline (group delays) + phase timeline
+        # (iono advances the carrier, Hatch-filter divergence physics)
         self._grids: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        self._grids_phase: dict[int, tuple[np.ndarray, np.ndarray]] = {}
+        # band-reusable raw pieces: geometric SV timeline + delays in meters
+        self._geo: dict[int, dict] = {}
         self._build_grids()
 
     # ------------------------------------------------------------------ truth
@@ -103,11 +151,20 @@ class GpsScenario:
 
     # ------------------------------------------------------------- grid setup
     def _build_grids(self) -> None:
+        from gnss_sdr_tpu.pvt.coords import ecef_to_llh
+
         cfg = self.cfg
+        lat, lon, hgt = ecef_to_llh(self.rx_ecef)
+        iono_params = (
+            KlobucharParams(alpha=cfg.iono_utc.alpha, beta=cfg.iono_utc.beta)
+            if cfg.iono_utc is not None else None
+        )
         n_grid = int(np.ceil(cfg.duration_s / cfg.grid_step_s)) + 3
         t_grid = np.arange(n_grid) * cfg.grid_step_s
         for prn in self.prns:
-            ttx = np.empty(n_grid)
+            ttx_sv = np.empty(n_grid)
+            iono_m = np.zeros(n_grid)
+            tropo_m = np.zeros(n_grid)
             for i, tg in enumerate(t_grid):
                 tr = truth_measurement(
                     self.ephs[prn], self.rx_ecef,
@@ -115,12 +172,32 @@ class GpsScenario:
                     rx_clock_bias_s=cfg.rx_clock_bias_s
                     + cfg.rx_clock_drift_ss * tg,
                 )
-                # the broadcast L1 signal leaves the satellite TGD late
-                # relative to the SV clock (that is what TGD *is*); the
-                # receiver's code measurement therefore rides the timeline
-                # t_tx_sv - tgd, and the solver subtracts TGD to undo it
-                ttx[i] = tr["t_tx_sv"] - self.ephs[prn].tgd
-            self._grids[prn] = (t_grid, ttx)
+                ttx_sv[i] = tr["t_tx_sv"]
+                if cfg.tropo or iono_params is not None:
+                    az, el = az_el(self.rx_ecef, tr["sat_pos_rx_frame"])
+                    if cfg.tropo:
+                        tropo_m[i] = tropo_delay(el, hgt)
+                    if iono_params is not None:
+                        iono_m[i] = klobuchar_delay(
+                            iono_params, lat, lon, az, el,
+                            cfg.tow_start_s + tg,
+                        )
+            self._geo[prn] = {
+                "t": t_grid, "ttx_sv": ttx_sv,
+                "iono_m": iono_m, "tropo_m": tropo_m,
+            }
+            # the broadcast L1 signal leaves the satellite TGD late
+            # relative to the SV clock (that is what TGD *is*); the
+            # receiver's code measurement therefore rides the timeline
+            # t_tx_sv - tgd, delayed further by the tropo + iono group
+            # delays; the carrier phase sees iono as an *advance*
+            tgd = self.ephs[prn].tgd
+            self._grids[prn] = (
+                t_grid, ttx_sv - tgd - (tropo_m + iono_m) / C_LIGHT
+            )
+            self._grids_phase[prn] = (
+                t_grid, ttx_sv - tgd - (tropo_m - iono_m) / C_LIGHT
+            )
 
     # --------------------------------------------------------------- generate
     def generate(self, start_sample: int, num_samples: int) -> np.ndarray:
@@ -139,8 +216,11 @@ class GpsScenario:
             bit_idx = np.floor(ttx * 50.0).astype(np.int64)
             uniq, inv = np.unique(bit_idx, return_inverse=True)
             signs = self.encoders[prn].bits_at(uniq)[inv]
-            # carrier: -2*pi*f*(t_rx - t_tx_sv) (mod applied in f64 cycles)
-            cycles = -GPS_L1_HZ * (t - ttx)
+            # carrier: -2*pi*f*(t_rx - t_tx_phase) (mod in f64 cycles); the
+            # phase timeline differs from the code timeline by twice the
+            # iono delay (group delay vs phase advance)
+            ttx_ph = np.interp(t, *self._grids_phase[prn])
+            cycles = -GPS_L1_HZ * (t - ttx_ph)
             phase = 2.0 * np.pi * np.mod(cycles, 1.0)
             acc += amp * code * signs * np.exp(1j * phase)
         if cfg.noise:

@@ -197,9 +197,10 @@ class CnavDecoder:
         self._pending = getattr(self, "_pending", 0) + len(signs)
         events: list[dict] = []
         # need at least one full message plus sync/edge margin buffered, and
-        # enough new symbols to plausibly contain a new message
-        if (len(self._hist) < 2 * (MSG_BITS + 2 * self.EDGE)
-                or self._pending < 2 * MSG_BITS):
+        # enough new symbols to plausibly complete a message (every half
+        # message: decode latency matters more than the extra Viterbi pass)
+        if (len(self._hist) < 2 * MSG_BITS + 4 * self.EDGE
+                or self._pending < MSG_BITS):
             return events
         self._pending = 0
         consumed_bits = 0

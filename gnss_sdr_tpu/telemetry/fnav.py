@@ -233,17 +233,19 @@ class FnavDecoder:
                 if len(self._hist) < PAGE_SYMBOLS + 2 * np_pre:
                     return events
                 h = np.asarray(self._hist)
-                found = -1
-                for off in range(len(h) - PAGE_SYMBOLS - np_pre):
-                    c0 = float(h[off : off + np_pre] @ pre)
-                    c1 = float(
-                        h[off + PAGE_SYMBOLS : off + PAGE_SYMBOLS + np_pre] @ pre
-                    )
-                    if (abs(c0) >= np_pre - 1 and abs(c1) >= np_pre - 1
-                            and np.sign(c0) == np.sign(c1)):
-                        found = off
-                        self._flip = float(np.sign(c0))
-                        break
+                # vectorized: one correlation flags candidate offsets whose
+                # preamble repeats one page later with the same polarity
+                corr = np.correlate(h, pre)        # [len-np_pre+1]
+                limit = len(h) - PAGE_SYMBOLS - np_pre
+                c0 = corr[:limit]
+                c1 = corr[PAGE_SYMBOLS : PAGE_SYMBOLS + limit]
+                hits = np.flatnonzero(
+                    (np.abs(c0) >= np_pre - 1) & (np.abs(c1) >= np_pre - 1)
+                    & (np.sign(c0) == np.sign(c1))
+                )
+                found = int(hits[0]) if len(hits) else -1
+                if found >= 0:
+                    self._flip = float(np.sign(c0[found]))
                 if found < 0:
                     keep = PAGE_SYMBOLS + np_pre
                     self._hist = self._hist[-keep:]

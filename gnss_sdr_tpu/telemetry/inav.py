@@ -263,15 +263,19 @@ class InavDecoder:
                 if len(self._hist) < 2 * PART_SYMBOLS + 10:
                     return events
                 h = np.asarray(self._hist)
-                # find a preamble that repeats one part later
-                found = -1
-                for off in range(len(h) - PART_SYMBOLS - 10):
-                    c0 = float(h[off : off + 10] @ pre)
-                    c1 = float(h[off + PART_SYMBOLS : off + PART_SYMBOLS + 10] @ pre)
-                    if abs(c0) >= 9.0 and abs(c1) >= 9.0 and np.sign(c0) == np.sign(c1):
-                        found = off
-                        self._flip = float(np.sign(c0))
-                        break
+                # find a preamble that repeats one part later (vectorized:
+                # one correlation flags candidates, pairs checked in bulk)
+                corr = np.correlate(h, pre)        # [len-9]
+                limit = len(h) - PART_SYMBOLS - 10
+                c0 = corr[:limit]
+                c1 = corr[PART_SYMBOLS : PART_SYMBOLS + limit]
+                hits = np.flatnonzero(
+                    (np.abs(c0) >= 9.0) & (np.abs(c1) >= 9.0)
+                    & (np.sign(c0) == np.sign(c1))
+                )
+                found = int(hits[0]) if len(hits) else -1
+                if found >= 0:
+                    self._flip = float(np.sign(c0[found]))
                 if found < 0:
                     keep = PART_SYMBOLS + 10
                     self._hist = self._hist[-keep:]

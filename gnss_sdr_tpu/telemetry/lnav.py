@@ -133,6 +133,58 @@ class GpsEphemeris:
         )
 
 
+@dataclass
+class GpsIonoUtc:
+    """Klobuchar iono + UTC parameters (subframe 4 page 18; IS-GPS-200
+    20.3.3.5.1.7-9). Reference analog: gps_iono.h + gps_utc_model.h."""
+
+    alpha0: float = 0.0
+    alpha1: float = 0.0
+    alpha2: float = 0.0
+    alpha3: float = 0.0
+    beta0: float = 0.0
+    beta1: float = 0.0
+    beta2: float = 0.0
+    beta3: float = 0.0
+    a0: float = 0.0               # UTC bias (s)
+    a1: float = 0.0               # UTC drift (s/s)
+    tot: float = 0.0              # reference time of UTC data (s)
+    wn_t: int = 0
+    delta_t_ls: int = 0           # current leap seconds
+    wn_lsf: int = 0
+    dn: int = 0
+    delta_t_lsf: int = 0
+    has_iono: bool = False
+    has_utc: bool = False
+
+    @property
+    def alpha(self) -> np.ndarray:
+        return np.array([self.alpha0, self.alpha1, self.alpha2, self.alpha3])
+
+    @property
+    def beta(self) -> np.ndarray:
+        return np.array([self.beta0, self.beta1, self.beta2, self.beta3])
+
+
+@dataclass
+class GpsAlmanac:
+    """Almanac entry (subframes 4/5 pages; IS-GPS-200 20.3.3.5.1.2).
+    Reference analog: gps_almanac.h."""
+
+    prn: int = 0
+    ecc: float = 0.0
+    toa: float = 0.0
+    delta_i: float = 0.0          # rad, offset from 0.30 semicircles
+    omega_dot: float = 0.0
+    sv_health: int = 0
+    sqrt_a: float = 0.0
+    omega0: float = 0.0
+    omega: float = 0.0
+    m0: float = 0.0
+    af0: float = 0.0
+    af1: float = 0.0
+
+
 PI_GPS = 3.1415926535898  # semicircle->rad factor fixed by the ICD
 
 
@@ -200,6 +252,64 @@ def _twos(v: int, nbits: int) -> int:
     return v - (1 << nbits) if v & (1 << (nbits - 1)) else v
 
 
+def parse_subframe45(
+    data: np.ndarray,
+    sf_id: int,
+    iono_utc: GpsIonoUtc,
+    almanacs: dict[int, GpsAlmanac],
+    health: dict[int, int],
+) -> int:
+    """Parse a subframe 4/5 page's 240 source bits into the given stores
+    (gps_navigation_message.cc:204-281 subframe 4/5 branches).
+    Returns the page's SV ID."""
+    words = data.reshape(10, 24)
+    w = lambda i, a, b: words[i][a - 1 : b]
+    sv_id = _bits_to_uint(w(2, 3, 8))
+
+    if sf_id == 4 and sv_id == 56:          # page 18: iono + UTC
+        iono_utc.alpha0 = _bits_to_int(w(2, 9, 16)) * 2.0**-30
+        iono_utc.alpha1 = _bits_to_int(w(2, 17, 24)) * 2.0**-27
+        iono_utc.alpha2 = _bits_to_int(w(3, 1, 8)) * 2.0**-24
+        iono_utc.alpha3 = _bits_to_int(w(3, 9, 16)) * 2.0**-24
+        iono_utc.beta0 = _bits_to_int(w(3, 17, 24)) * 2.0**11
+        iono_utc.beta1 = _bits_to_int(w(4, 1, 8)) * 2.0**14
+        iono_utc.beta2 = _bits_to_int(w(4, 9, 16)) * 2.0**16
+        iono_utc.beta3 = _bits_to_int(w(4, 17, 24)) * 2.0**16
+        iono_utc.a1 = _bits_to_int(w(5, 1, 24)) * 2.0**-50
+        a0 = (_bits_to_uint(w(6, 1, 24)) << 8) | _bits_to_uint(w(7, 1, 8))
+        iono_utc.a0 = _twos(a0, 32) * 2.0**-30
+        iono_utc.tot = _bits_to_uint(w(7, 9, 16)) * 2.0**12
+        iono_utc.wn_t = _bits_to_uint(w(7, 17, 24))
+        iono_utc.delta_t_ls = _bits_to_int(w(8, 1, 8))
+        iono_utc.wn_lsf = _bits_to_uint(w(8, 9, 16))
+        iono_utc.dn = _bits_to_uint(w(8, 17, 24))
+        iono_utc.delta_t_lsf = _bits_to_int(w(9, 1, 8))
+        iono_utc.has_iono = True
+        iono_utc.has_utc = True
+    elif 1 <= sv_id <= 32:                  # almanac page
+        alm = GpsAlmanac(prn=sv_id)
+        alm.ecc = _bits_to_uint(w(2, 9, 24)) * 2.0**-21
+        alm.toa = _bits_to_uint(w(3, 1, 8)) * 2.0**12
+        alm.delta_i = _bits_to_int(w(3, 9, 24)) * 2.0**-19 * PI_GPS
+        alm.omega_dot = _bits_to_int(w(4, 1, 16)) * 2.0**-38 * PI_GPS
+        alm.sv_health = _bits_to_uint(w(4, 17, 24))
+        alm.sqrt_a = _bits_to_uint(w(5, 1, 24)) * 2.0**-11
+        alm.omega0 = _bits_to_int(w(6, 1, 24)) * 2.0**-23 * PI_GPS
+        alm.omega = _bits_to_int(w(7, 1, 24)) * 2.0**-23 * PI_GPS
+        alm.m0 = _bits_to_int(w(8, 1, 24)) * 2.0**-23 * PI_GPS
+        af0 = (_bits_to_uint(w(9, 1, 8)) << 3) | _bits_to_uint(w(9, 20, 22))
+        alm.af0 = _twos(af0, 11) * 2.0**-20
+        alm.af1 = _bits_to_int(w(9, 9, 19)) * 2.0**-38
+        almanacs[sv_id] = alm
+        health[sv_id] = alm.sv_health
+    elif sf_id == 5 and sv_id == 51:        # page 25: health SV 1-24 + WNa
+        for k in range(24):                 # 6-bit fields, words 4-9
+            wi = 2 + 1 + k // 4
+            off = (k % 4) * 6
+            health[k + 1] = _bits_to_uint(words[wi][off : off + 6])
+    return sv_id
+
+
 class LnavDecoder:
     """Streaming LNAV decoder for one channel.
 
@@ -212,6 +322,9 @@ class LnavDecoder:
     def __init__(self, prn: int) -> None:
         self.prn = prn
         self.eph = GpsEphemeris(prn=prn)
+        self.iono_utc = GpsIonoUtc()
+        self.almanacs: dict[int, GpsAlmanac] = {}
+        self.health: dict[int, int] = {}
         self.bits: list[int] = []          # 0/1 history
         self.stamps: list[int] = []        # sample stamp per bit (end of bit)
         self.synced = False
@@ -245,23 +358,33 @@ class LnavDecoder:
 
     # ------------------------------------------------------------------ sync
     def _find_preamble(self) -> None:
-        """Scan for a preamble with a parity-valid TLM+HOW behind it."""
+        """Scan for a preamble with a parity-valid TLM+HOW behind it.
+
+        Vectorized: one +-1 correlation against the 8-bit preamble flags
+        the few candidate offsets (|corr| = 8, either polarity); only those
+        pay the parity check (the reference's symbol-correlation frame sync,
+        gps_l1_ca_telemetry_decoder_gs.cc)."""
         b = np.asarray(self.bits, dtype=np.int8)
         n = len(b)
+        if n < 2 + 2 * BITS_PER_WORD:
+            return
+        x = 1.0 - 2.0 * b
+        pre = (1.0 - 2.0 * PREAMBLE_BITS).astype(np.float64)
+        corr = np.correlate(x, pre)            # [n-7]
+        cand = np.flatnonzero(np.abs(corr) > 7.5)
         # need 2 bits of history for D29*/D30* and 60 bits of TLM+HOW
-        for i in range(2, n - 2 * BITS_PER_WORD):
-            for inv in (0, 1):
-                cand = b[i : i + 8] ^ inv
-                if not np.array_equal(cand, PREAMBLE_BITS):
-                    continue
-                words = b[i - 2 : i + 2 * BITS_PER_WORD] ^ inv
-                tlm = words[0:32]
-                how = words[BITS_PER_WORD : BITS_PER_WORD + 32]
-                if check_parity_word(tlm) and check_parity_word(how):
-                    self.synced = True
-                    self.inverted = bool(inv)
-                    self.frame_start = i
-                    return
+        for i in cand:
+            if i < 2 or i > n - 2 * BITS_PER_WORD:
+                continue
+            inv = 1 if corr[i] < 0 else 0
+            words = b[i - 2 : i + 2 * BITS_PER_WORD] ^ inv
+            tlm = words[0:32]
+            how = words[BITS_PER_WORD : BITS_PER_WORD + 32]
+            if check_parity_word(tlm) and check_parity_word(how):
+                self.synced = True
+                self.inverted = bool(inv)
+                self.frame_start = int(i)
+                return
 
     def _try_decode(self) -> dict | None:
         if not self.synced:
@@ -295,6 +418,9 @@ class LnavDecoder:
             return self._try_decode_nonrecursive_guard()
 
         sf_id, tow = parse_subframe(data, self.eph)
+        if sf_id in (4, 5):
+            parse_subframe45(data, sf_id, self.iono_utc, self.almanacs,
+                             self.health)
         self.subframes_ok += 1
         # HOW TOW = start of NEXT subframe; the last bit of this subframe
         # ends exactly at that epoch

@@ -79,10 +79,15 @@ def _solve_word(d24: np.ndarray, d29s: int, d30s: int,
 def encode_subframe(
     eph: GpsEphemeris, sf_id: int, tow_next_s: float,
     d29s: int = 0, d30s: int = 0,
+    page: int | None = None,
+    iono_utc=None,
+    almanacs=None,
 ) -> np.ndarray:
     """300 transmitted bits for one subframe.
 
     tow_next_s: TOW at the start of the NEXT subframe (HOW definition).
+    For subframes 4/5, `page` selects the page (SF4 page 18 = iono/UTC,
+    SF5 pages 1-24 = almanac for SV=page).
     """
     words = [np.zeros(24, dtype=np.int8) for _ in range(10)]
 
@@ -141,7 +146,9 @@ def encode_subframe(
         setb(8, 1, 24, _semi_int(eph.omega_dot, 2.0**-43, 24))
         setb(9, 1, 8, _uint_bits(eph.iode_sf3, 8))
         setb(9, 9, 22, _semi_int(eph.idot, 2.0**-43, 14))
-    # sf 4/5: parity-valid filler (data zeros) until almanac support
+    elif sf_id in (4, 5) and page is not None:
+        _encode_page45(words, setb, sf_id, page, iono_utc, almanacs)
+    # sf 4/5 without page data: parity-valid filler (data zeros)
 
     out = np.empty(BITS_PER_SUBFRAME, dtype=np.int8)
     for wi in range(10):
@@ -151,11 +158,64 @@ def encode_subframe(
     return out
 
 
-class LnavEncoder:
-    """Bit stream source for one satellite: bit n of the week <-> TOW n/50."""
+def _encode_page45(words, setb, sf_id: int, page: int,
+                   iono_utc, almanacs) -> None:
+    """Fill subframe 4/5 page data (IS-GPS-200 20.3.3.5.1): page 18 of SF4
+    carries iono+UTC; SF5 pages 1-24 carry the almanac for SV=page."""
+    if sf_id == 4 and page == 18 and iono_utc is not None:
+        setb(2, 1, 2, _uint_bits(1, 2))                   # data ID
+        setb(2, 3, 8, _uint_bits(56, 6))                  # SV (page) ID
+        setb(2, 9, 16, _scaled_int(iono_utc.alpha0, 2.0**-30, 8))
+        setb(2, 17, 24, _scaled_int(iono_utc.alpha1, 2.0**-27, 8))
+        setb(3, 1, 8, _scaled_int(iono_utc.alpha2, 2.0**-24, 8))
+        setb(3, 9, 16, _scaled_int(iono_utc.alpha3, 2.0**-24, 8))
+        setb(3, 17, 24, _scaled_int(iono_utc.beta0, 2.0**11, 8))
+        setb(4, 1, 8, _scaled_int(iono_utc.beta1, 2.0**14, 8))
+        setb(4, 9, 16, _scaled_int(iono_utc.beta2, 2.0**16, 8))
+        setb(4, 17, 24, _scaled_int(iono_utc.beta3, 2.0**16, 8))
+        setb(5, 1, 24, _scaled_int(iono_utc.a1, 2.0**-50, 24))
+        a0 = _scaled_int(iono_utc.a0, 2.0**-30, 32)
+        setb(6, 1, 24, a0[:24])
+        setb(7, 1, 8, a0[24:])
+        setb(7, 9, 16, _scaled_uint(iono_utc.tot, 2.0**12, 8))
+        setb(7, 17, 24, _uint_bits(iono_utc.wn_t & 0xFF, 8))
+        setb(8, 1, 8, _scaled_int(float(iono_utc.delta_t_ls), 1.0, 8))
+        setb(8, 9, 16, _uint_bits(iono_utc.wn_lsf & 0xFF, 8))
+        setb(8, 17, 24, _uint_bits(iono_utc.dn & 0xFF, 8))
+        setb(9, 1, 8, _scaled_int(float(iono_utc.delta_t_lsf), 1.0, 8))
+    elif sf_id == 5 and 1 <= page <= 24 and almanacs and page in almanacs:
+        alm = almanacs[page]
+        setb(2, 1, 2, _uint_bits(1, 2))
+        setb(2, 3, 8, _uint_bits(page, 6))                # SV ID = page
+        setb(2, 9, 24, _scaled_uint(alm.ecc, 2.0**-21, 16))
+        setb(3, 1, 8, _scaled_uint(alm.toa, 2.0**12, 8))
+        setb(3, 9, 24, _semi_int(alm.delta_i, 2.0**-19, 16))
+        setb(4, 1, 16, _semi_int(alm.omega_dot, 2.0**-38, 16))
+        setb(4, 17, 24, _uint_bits(alm.sv_health, 8))
+        setb(5, 1, 24, _scaled_uint(alm.sqrt_a, 2.0**-11, 24))
+        setb(6, 1, 24, _semi_int(alm.omega0, 2.0**-23, 24))
+        setb(7, 1, 24, _semi_int(alm.omega, 2.0**-23, 24))
+        setb(8, 1, 24, _semi_int(alm.m0, 2.0**-23, 24))
+        af0 = _scaled_int(alm.af0, 2.0**-20, 11)
+        setb(9, 1, 8, af0[:8])
+        setb(9, 20, 22, af0[8:])
+        setb(9, 9, 19, _scaled_int(alm.af1, 2.0**-38, 11))
 
-    def __init__(self, eph: GpsEphemeris) -> None:
+
+class LnavEncoder:
+    """Bit stream source for one satellite: bit n of the week <-> TOW n/50.
+
+    With `iono_utc`/`almanacs`, subframes 4/5 carry real pages on the
+    IS-GPS-200 25-frame cycle. `sf4_page18_every_frame` pins SF4 to the
+    iono/UTC page each frame (simulator convenience: real receivers wait
+    up to 12.5 min for page 18; tests need it inside a 30 s capture)."""
+
+    def __init__(self, eph: GpsEphemeris, iono_utc=None, almanacs=None,
+                 sf4_page18_every_frame: bool = False) -> None:
         self.eph = eph
+        self.iono_utc = iono_utc
+        self.almanacs = almanacs or {}
+        self.page18_always = sf4_page18_every_frame
         self._cache: dict[int, np.ndarray] = {}
 
     def subframe(self, epoch: int) -> np.ndarray:
@@ -163,8 +223,17 @@ class LnavEncoder:
         sf = self._cache.get(epoch)
         if sf is None:
             sf_id = (epoch % 5) + 1
+            page = None
+            if sf_id in (4, 5):
+                frame = epoch // 5
+                page = (frame % 25) + 1
+                if sf_id == 4 and self.page18_always:
+                    page = 18
             # word-10 tail forcing guarantees D29*=D30*=0 at subframe start
-            sf = encode_subframe(self.eph, sf_id, 6.0 * (epoch + 1), 0, 0)
+            sf = encode_subframe(
+                self.eph, sf_id, 6.0 * (epoch + 1), 0, 0,
+                page=page, iono_utc=self.iono_utc, almanacs=self.almanacs,
+            )
             self._cache[epoch] = sf
         return sf
 

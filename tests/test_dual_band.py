@@ -32,7 +32,7 @@ def dual_band_rx():
         rx_clock_bias_s=1.3e-4,
         max_sats=5,
         min_elevation_deg=15.0,
-        seed=3,
+        seed=4,
     )
     scen = GpsScenario(cfg)
     assert len(scen.prns) >= 5, scen.prns
