@@ -141,9 +141,15 @@ class PcpsAcquisition:
         conf: AcqConfig,
         code_table: np.ndarray,   # [P, code_length] chips (+-1), float
         prns: list[int],          # PRN id per table row (for reporting)
+        mesh=None,
     ) -> None:
+        """`mesh`: optional jax.sharding.Mesh with a "ch" axis — the
+        (channel/PRN) hypothesis batch shards across devices with the code
+        FFT table and Doppler grid replicated (SURVEY.md §2.4 P3/P10);
+        the caller pads the batch to a multiple of the mesh size."""
         self.conf = conf
         self.prns = list(prns)
+        self.mesh = mesh
         spc = conf.samples_per_code
         ncoh = conf.coherent_samples
         fft_size = conf.fft_size
@@ -178,8 +184,25 @@ class PcpsAcquisition:
 
         nb = len(dop)
         self.threshold = conf.threshold if conf.threshold > 0 else threshold_from_pfa(conf, nb)
-        self._jit_acquire = jax.jit(self._acquire)
-        self._jit_refine = jax.jit(self._refine)
+        if mesh is None:
+            self._jit_acquire = jax.jit(self._acquire)
+            self._jit_refine = jax.jit(self._refine)
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            row = NamedSharding(mesh, P("ch"))
+            row2 = NamedSharding(mesh, P("ch", None))
+            rep = NamedSharding(mesh, P())
+            self._jit_acquire = jax.jit(
+                self._acquire,
+                in_shardings=(row2, row, rep, rep),
+                out_shardings=(row, row, row, row),
+            )
+            self._jit_refine = jax.jit(
+                self._refine,
+                in_shardings=(row2, row, row, rep),
+                out_shardings=(row, row, row),
+            )
 
     # ------------------------------------------------------------------ core
     def _grid_chunk(self, x: jnp.ndarray, cfc: jnp.ndarray, dop: jnp.ndarray) -> jnp.ndarray:
@@ -262,23 +285,35 @@ class PcpsAcquisition:
     def acquire(self, x, prn_idx) -> AcqResults:
         """Run acquisition. x: [C, input_samples] c64; prn_idx: [C] into table."""
         conf = self.conf
-        x = jnp.asarray(np.asarray(x, dtype=np.complex64))
-        prn_idx = jnp.asarray(np.asarray(prn_idx, dtype=np.int32))
+        x = np.asarray(x, dtype=np.complex64)
+        prn_idx = np.asarray(prn_idx, dtype=np.int32)
+        n_real = x.shape[0]
+        if self.mesh is not None:
+            # pad the hypothesis batch to the mesh size (repeat the last
+            # row; the surplus results are dropped below)
+            n_dev = self.mesh.devices.size
+            pad = (-n_real) % n_dev
+            if pad:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
+                prn_idx = np.concatenate(
+                    [prn_idx, np.repeat(prn_idx[-1:], pad)])
+        x = jnp.asarray(x)
+        prn_idx = jnp.asarray(prn_idx)
         val, dop, lag, power = self._jit_acquire(
             x, prn_idx, self._codes_fft_conj, self._dop_padded
         )
         if conf.make_two_steps:
             val, dop, lag = self._jit_refine(x, prn_idx, dop, self._codes_fft_conj)
-        val = np.asarray(val, dtype=np.float64)
-        power = np.asarray(power, dtype=np.float64)
+        val = np.asarray(val, dtype=np.float64)[:n_real]
+        power = np.asarray(power, dtype=np.float64)[:n_real]
         # normalized statistic: peak / (sigma^2 * N_coh * K); ~Exp(1)-max under H0
         norm = power * conf.coherent_samples * conf.max_dwells
         stat = val / np.maximum(norm, 1e-30)
         return AcqResults(
             detected=stat > self.threshold,
             test_statistic=stat,
-            delay_samples=np.asarray(lag, dtype=np.float64),
-            doppler_hz=np.asarray(dop, dtype=np.float64),
+            delay_samples=np.asarray(lag, dtype=np.float64)[:n_real],
+            doppler_hz=np.asarray(dop, dtype=np.float64)[:n_real],
             input_power=power,
             threshold=self.threshold,
         )

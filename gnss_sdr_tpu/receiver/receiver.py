@@ -56,7 +56,12 @@ class ReceiverConfig:
     # Hatch window (in obs epochs): DLL noise decorrelates only at ~1/(2*Bn)
     # (~0.7 s at 0.75 Hz), so a multi-second window is needed to average it
     carrier_smoothing_epochs: int = 400
-    apply_atmosphere: bool = False      # simulator currently emits none
+    # model tropo always and iono once Klobuchar parameters arrive
+    # (decoded from LNAV SF4 page 18, or injected); reference PVT default
+    apply_atmosphere: bool = True
+    # shard each group's channel axis over the first `num_devices` devices
+    # (jax.sharding channel mesh, SURVEY.md §2.4 P2/P10); 0 = single device
+    num_devices: int = 0
 
 
 @dataclass
@@ -65,24 +70,26 @@ class ReceiverStatus:
     ttff_s: float | None = None
     subframes: int = 0
     acquired: dict = field(default_factory=dict)    # (sys, prn) -> (dop, delay)
+    iono_utc: object = None                         # decoded GpsIonoUtc
 
 
 class SignalGroup:
     """One signal type's engines + per-channel decode state."""
 
-    def __init__(self, plan: SignalPlan, chan_offset: int) -> None:
+    def __init__(self, plan: SignalPlan, chan_offset: int, mesh=None) -> None:
         self.plan = plan
         self.offset = chan_offset           # global channel index base
         acq_table = (plan.acq_code_table if plan.acq_code_table is not None
                      else plan.code_table)
         self.acq = PcpsAcquisition(
-            plan.acq_conf, acq_table, list(plan.search_prns)
+            plan.acq_conf, acq_table, list(plan.search_prns), mesh=mesh
         )
         self.tracker = Tracker(
             plan.trk_conf, plan.code_table,
             data_code_table=plan.data_code_table,
             sec_pilot_table=plan.sec_pilot_table,
             sec_data_levels=plan.sec_data_levels,
+            mesh=mesh,
         )
         self.decoders: dict[int, object] = {}
         self.channel_prn = [0] * plan.num_channels
@@ -121,10 +128,16 @@ class Receiver:
                 extend_correlation_symbols=cfg.extend_correlation_symbols,
                 search_prns=cfg.search_prns,
             )]
+        self.mesh = None
+        if cfg.num_devices > 0:
+            import jax
+            from gnss_sdr_tpu.parallel.sharding import make_channel_mesh
+
+            self.mesh = make_channel_mesh(jax.devices()[: cfg.num_devices])
         self.groups: list[SignalGroup] = []
         off = 0
         for plan in plans:
-            self.groups.append(SignalGroup(plan, off))
+            self.groups.append(SignalGroup(plan, off, mesh=self.mesh))
             off += plan.num_channels
         self.total_channels = off
 
@@ -382,6 +395,14 @@ class Receiver:
                 )
                 if ev["ephemeris_complete"]:
                     self.ephemerides[(plan.system, prn)] = g.decoders[prn].eph
+            # broadcast iono (LNAV SF4 page 18) feeds the solver's
+            # Klobuchar model (reference msg_handler_telemetry iono intake,
+            # rtklib_pvt_gs.cc:1195)
+            if events and plan.system == "G" and not self.iono.valid:
+                iu = getattr(g.decoders[prn], "iono_utc", None)
+                if iu is not None and iu.has_iono:
+                    self.iono = KlobucharParams(alpha=iu.alpha, beta=iu.beta)
+                    self.status.iono_utc = iu
 
     # ---------------------------------------------------------------- epochs
     def _run_epochs(self) -> None:

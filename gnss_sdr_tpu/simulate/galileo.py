@@ -86,7 +86,7 @@ class GalileoScenarioConfig:
     noise: bool = True
     seed: int = 0
     grid_step_s: float = 0.02
-    tropo: bool = False                  # simulate Saastamoinen delay
+    tropo: bool = True                   # simulate Saastamoinen delay
 
 
 class GalileoScenario:

@@ -64,7 +64,7 @@ class ScenarioConfig:
     # longer than a test capture); tropo (Saastamoinen) is simulated
     # unconditionally when `tropo` is set.
     iono_utc: GpsIonoUtc | None = None
-    tropo: bool = False
+    tropo: bool = True
     broadcast_almanac: bool = True
 
 

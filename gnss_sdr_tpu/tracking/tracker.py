@@ -83,11 +83,17 @@ class Tracker:
         data_code_table: np.ndarray | None = None,
         sec_pilot_table: np.ndarray | None = None,
         sec_data_levels: np.ndarray | None = None,
+        mesh=None,
     ) -> None:
         """code_table: [P, L] PRN chip levels (the PILOT component when
         conf.track_pilot). Pilot plans additionally provide the data-code
         table, the per-PRN pilot secondary table [P, sec_len_pilot], and the
-        shared data secondary [sec_len_data]."""
+        shared data secondary [sec_len_data].
+
+        `mesh`: optional jax.sharding.Mesh with a "ch" axis — channel-axis
+        state/codes shard across devices, the sample window replicates, and
+        the packed per-period outputs gather on fetch (SURVEY.md §2.4
+        P2/P10). conf.max_channels must divide evenly."""
         self.conf = conf
         self.code_table = np.asarray(code_table, dtype=np.float32)
         self.state: TrackingState = init_state(conf)
@@ -140,7 +146,6 @@ class Tracker:
         )
         spec = self._spec
 
-        @jax.jit
         def _track_packed(state, window, codes, data_codes, sec_p, sec_d):
             new_state, outs = track_block(
                 conf, state, window, codes, data_codes, sec_p, sec_d
@@ -149,7 +154,34 @@ class Tracker:
             # runtimes cannot transfer non-default-layout buffers)
             return new_state, pack_tree(outs._asdict(), spec).ravel()
 
-        self._track_packed = _track_packed
+        self.mesh = mesh
+        if mesh is None:
+            self._track_packed = jax.jit(_track_packed)
+        else:
+            from gnss_sdr_tpu.parallel.sharding import (
+                CHANNEL_AXIS,
+                state_shardings,
+            )
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            if conf.max_channels % mesh.devices.size:
+                raise ValueError(
+                    f"{conf.max_channels} channels do not divide over "
+                    f"{mesh.devices.size} devices"
+                )
+            row2 = NamedSharding(mesh, P(CHANNEL_AXIS, None))
+            rep = NamedSharding(mesh, P())
+            self._track_packed = jax.jit(
+                _track_packed,
+                in_shardings=(
+                    state_shardings(mesh), rep, row2,
+                    row2 if conf.track_pilot else None,
+                    row2 if conf.track_pilot else None,
+                    row2 if conf.track_pilot else None,
+                ),
+                # packed output raveled [S*C*lanes]: gather to host layout
+                out_shardings=(state_shardings(mesh), rep),
+            )
 
     # ----------------------------------------------------------------- setup
     def start_channel(
