@@ -183,10 +183,29 @@ class PcpsAcquisition:
         self._num_chunks = len(dop_padded) // chunk
 
         nb = len(dop)
-        self.threshold = conf.threshold if conf.threshold > 0 else threshold_from_pfa(conf, nb)
+        if conf.threshold > 0:
+            self.threshold = conf.threshold
+        elif conf.statistic == "peak1_peak2":
+            # H0 model: M1 = max over ALL (bin, lag) cells ~ Gumbel around
+            # ln(Nall); M2 = max over the winning bin's lags only ~ Gumbel
+            # around ln(Nbin). P(M1 > r*M2) ~= Gamma(1+r) * Nall *
+            # Nbin^-r (integrating the Gumbel density of M2); solve for r
+            # by fixed point.
+            nbin = conf.samples_per_code
+            nall = nb * nbin
+            r = 2.0
+            for _ in range(16):
+                r = (
+                    math.log(nall)
+                    + math.log(math.gamma(1.0 + r) / conf.pfa)
+                ) / math.log(nbin)
+            self.threshold = r
+        else:
+            self.threshold = threshold_from_pfa(conf, nb)
         if mesh is None:
             self._jit_acquire = jax.jit(self._acquire)
             self._jit_refine = jax.jit(self._refine)
+            self._jit_second_peak = jax.jit(self._second_peak)
         else:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -202,6 +221,11 @@ class PcpsAcquisition:
                 self._refine,
                 in_shardings=(row2, row, row, rep),
                 out_shardings=(row, row, row),
+            )
+            self._jit_second_peak = jax.jit(
+                self._second_peak,
+                in_shardings=(row2, row, row, row, rep),
+                out_shardings=row,
             )
 
     # ------------------------------------------------------------------ core
@@ -259,6 +283,27 @@ class PcpsAcquisition:
         input_power = jnp.mean(jnp.abs(x) ** 2, axis=1)        # [C]
         return best_val, best_dop, best_lag, input_power
 
+    def _second_peak(self, x: jnp.ndarray, prn_idx: jnp.ndarray,
+                     best_dop: jnp.ndarray, best_lag: jnp.ndarray,
+                     codes_fft_conj: jnp.ndarray) -> jnp.ndarray:
+        """Second-largest delay-domain peak in each channel's best Doppler
+        bin, excluding +-1 chip around the main peak (reference
+        first_vs_second_peak_statistic, pcps_acquisition.cc:452-516)."""
+        conf = self.conf
+        C = x.shape[0]
+        xk = x.reshape(C, conf.max_dwells, conf.fft_size)
+        cfc = codes_fft_conj[prn_idx]
+        excl = int(np.ceil(conf.fs / conf.code_rate_cps))  # 1 chip, samples
+        spc = conf.samples_per_code
+        lags = jnp.arange(spc, dtype=jnp.int32)
+
+        def one(xc, cf, d, lag):
+            g = self._grid_chunk(xc[None], cf[None], d[None])[0, 0]  # [spc]
+            dist = jnp.minimum((lags - lag) % spc, (lag - lags) % spc)
+            return jnp.max(jnp.where(dist <= excl, -jnp.inf, g))
+
+        return jax.vmap(one)(xk, cfc, best_dop, best_lag)
+
     def _refine(self, x: jnp.ndarray, prn_idx: jnp.ndarray, center_dop: jnp.ndarray,
                 codes_fft_conj: jnp.ndarray):
         """Second-step narrow Doppler zoom around per-channel coarse peaks
@@ -304,11 +349,21 @@ class PcpsAcquisition:
         )
         if conf.make_two_steps:
             val, dop, lag = self._jit_refine(x, prn_idx, dop, self._codes_fft_conj)
-        val = np.asarray(val, dtype=np.float64)[:n_real]
+        val_np = np.asarray(val, dtype=np.float64)[:n_real]
         power = np.asarray(power, dtype=np.float64)[:n_real]
-        # normalized statistic: peak / (sigma^2 * N_coh * K); ~Exp(1)-max under H0
-        norm = power * conf.coherent_samples * conf.max_dwells
-        stat = val / np.maximum(norm, 1e-30)
+        if conf.statistic == "peak1_peak2":
+            # first vs second delay-domain peak in the winning Doppler bin
+            # (reference first_vs_second_peak_statistic)
+            p2 = self._jit_second_peak(
+                x, prn_idx, dop, lag, self._codes_fft_conj
+            )
+            p2 = np.asarray(p2, dtype=np.float64)[:n_real]
+            stat = val_np / np.maximum(p2, 1e-30)
+        else:
+            # normalized CFAR statistic: peak / (sigma^2 * N_coh * K);
+            # ~Exp(1)-max under H0
+            norm = power * conf.coherent_samples * conf.max_dwells
+            stat = val_np / np.maximum(norm, 1e-30)
         return AcqResults(
             detected=stat > self.threshold,
             test_statistic=stat,

@@ -29,6 +29,9 @@ from gnss_sdr_tpu.receiver.factory import (
     get_signal_source,
 )
 from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+from gnss_sdr_tpu.utils.log import get_logger, setup_logging
+
+log = get_logger(__name__)
 
 _BAND_ORDER = ("L1", "L5")
 
@@ -92,9 +95,38 @@ def run_from_config(cfg, max_seconds: float | None = None):
         num_channels=sum(p.num_channels for p in plans),
         obs_interval_ms=cfg.property("GNSS-SDR.observable_interval_ms", 20),
         pvt_interval_ms=cfg.property("PVT.output_rate_ms", 100),
+        enable_pvt_kf=cfg.property("PVT.enable_pvt_kf", False),
+        num_devices=cfg.property("GNSS-SDR.num_devices", 0),
     )
     receiver = Receiver(rx_cfg, plans=plans)
     outputs = get_pvt_outputs(cfg)
+
+    # assistance warm start (reference read_assistance_from_XML,
+    # control_thread.cc:515): reload saved ephemerides/iono before the run
+    assist_xml = cfg.property("GNSS-SDR.assistance_xml", "")
+    if assist_xml:
+        import os
+
+        from gnss_sdr_tpu.receiver.assistance import load_assistance
+
+        if os.path.exists(assist_xml):
+            data = load_assistance(assist_xml)
+            receiver.ephemerides.update(data["ephemerides"])
+            iu = data["iono_utc"]
+            if iu is not None and iu.has_iono:
+                from gnss_sdr_tpu.pvt.atmosphere import KlobucharParams
+
+                receiver.iono = KlobucharParams(alpha=iu.alpha, beta=iu.beta)
+
+    # telecommand server (reference TcpCmdInterface,
+    # tcp_cmd_interface.cc:49-62)
+    tc_server = None
+    if cfg.property("GNSS-SDR.telecommand_enabled", False):
+        from gnss_sdr_tpu.receiver.telecommand import TcpCmdServer
+
+        tc_server = TcpCmdServer(
+            receiver, port=cfg.property("GNSS-SDR.telecommand_tcp_port", 3333)
+        )
 
     chunk = 1 << 17
     acq_done = False
@@ -141,9 +173,23 @@ def run_from_config(cfg, max_seconds: float | None = None):
                     receiver.acquire()
                 except ValueError:
                     pass  # not enough contiguous samples buffered yet
+        if tc_server is not None:
+            cmds = tc_server.apply_pending()
+            if any(c in ("standby", "reset", "coldstart") for c in cmds):
+                acq_done = False
         for sol in receiver.status.fixes[printed:]:
             outputs.print_position(sol)
         printed = len(receiver.status.fixes)
+    if assist_xml:
+        from gnss_sdr_tpu.receiver.assistance import save_assistance
+
+        save_assistance(
+            assist_xml, receiver.ephemerides,
+            iono_utc=receiver.status.iono_utc,
+        )
+    if tc_server is not None:
+        tc_server.close()
+    receiver.close()
     outputs.close()
     return receiver.status
 
@@ -154,7 +200,11 @@ def main(argv=None) -> int:
                     help="receiver configuration (.conf INI)")
     ap.add_argument("--max_seconds", type=float, default=None,
                     help="stop after this much signal time")
+    ap.add_argument("--log_level", default="INFO",
+                    help="logging severity (DEBUG/INFO/WARNING/ERROR)")
+    ap.add_argument("--log_file", default=None)
     args = ap.parse_args(argv)
+    setup_logging(args.log_level, args.log_file)
 
     t0 = time.time()
     cfg = FileConfiguration(args.config_file)

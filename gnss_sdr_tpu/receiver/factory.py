@@ -441,7 +441,15 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
     else:
         opt("early_late_space_chips",
             f"Tracking_{sig}.early_late_space_chips", 0.0)
-    return make(**kwargs)
+    plan = make(**kwargs)
+    # per-block dumps (reference Tracking_XX.dump / dump_filename)
+    if cfg.property(f"Tracking_{sig}.dump", False):
+        plan.dump_filename = cfg.property(
+            f"Tracking_{sig}.dump_filename", f"tracking_{sig}.npz")
+    if cfg.property(f"Acquisition_{sig}.dump", False):
+        plan.acq_dump_filename = cfg.property(
+            f"Acquisition_{sig}.dump_filename", f"acquisition_{sig}.npz")
+    return plan
 
 
 def get_signal_plans(cfg: ConfigurationInterface,

@@ -53,6 +53,9 @@ class SignalPlan:
     # acquisition searches this table (pilot plans may acquire on the data
     # code: same chip boundaries, no secondary ambiguity inside one period)
     acq_code_table: np.ndarray | None = None
+    # per-block binary dumps (reference dump/dump_filename per block)
+    dump_filename: str | None = None
+    acq_dump_filename: str | None = None
 
     @property
     def fs(self) -> float:

@@ -32,6 +32,9 @@ from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT
 from gnss_sdr_tpu.pvt.solver import ObsEpoch, PvtSolution, solve_pvt
 from gnss_sdr_tpu.receiver.plans import SignalPlan, gps_l1ca_plan
 from gnss_sdr_tpu.tracking import ChannelPhase, Tracker
+from gnss_sdr_tpu.utils.log import get_logger
+
+log = get_logger(__name__)
 
 
 @dataclass
@@ -62,6 +65,9 @@ class ReceiverConfig:
     # shard each group's channel axis over the first `num_devices` devices
     # (jax.sharding channel mesh, SURVEY.md §2.4 P2/P10); 0 = single device
     num_devices: int = 0
+    # position/velocity Kalman smoothing of the LS fixes (reference
+    # Pvt.enable_pvt_kf -> pvt_kf.cc)
+    enable_pvt_kf: bool = False
 
 
 @dataclass
@@ -95,6 +101,16 @@ class SignalGroup:
         self.channel_prn = [0] * plan.num_channels
         # sub-chip (table-unit) code phase by stamp for TOW anchoring
         self.recent_rem: dict[int, dict] = {}
+        self.dumper = None
+        self.acq_dumper = None
+        if plan.dump_filename:
+            from gnss_sdr_tpu.monitor.dumps import TrackingDumper
+
+            self.dumper = TrackingDumper(plan.dump_filename)
+        if plan.acq_dump_filename:
+            from gnss_sdr_tpu.monitor.dumps import AcquisitionDumper
+
+            self.acq_dumper = AcquisitionDumper(plan.acq_dump_filename)
 
     def idle_channel(self) -> int | None:
         for i in range(self.plan.num_channels):
@@ -150,6 +166,11 @@ class Receiver:
         self.ephemerides: dict = {}          # (system, prn) -> ephemeris
         self.iono = KlobucharParams()
         self.status = ReceiverStatus()
+        self.pvt_kf = None
+        if cfg.enable_pvt_kf:
+            from gnss_sdr_tpu.pvt.kf import PvtKalmanFilter
+
+            self.pvt_kf = PvtKalmanFilter()
         self._next_epoch_t: float | None = None   # next obs epoch (stream s)
         self._last_pvt_tow: float = -1e9
         self._last_fix: PvtSolution | None = None
@@ -233,6 +254,8 @@ class Receiver:
             return {}
         xb = np.broadcast_to(x, (len(prns), n))
         res = g.acq.acquire(xb, np.array([plan.prn_row(p) for p in prns]))
+        if g.acq_dumper is not None:
+            g.acq_dumper.push(prns, res)
 
         order = np.argsort(-res.test_statistic)
         started = {}
@@ -252,6 +275,12 @@ class Receiver:
             )
             g.channel_prn[ch] = prn
             g.decoders[prn] = plan.make_decoder(prn)
+            log.info(
+                "acq %s%02d %s: doppler %+.0f Hz delay %.1f -> channel %d",
+                plan.system, prn, plan.name,
+                float(res.doppler_hz[idx]), float(res.delay_samples[idx]),
+                g.offset + ch,
+            )
             self.obs.configure_channel(
                 g.offset + ch, plan.code_period_s, plan.table_rate_cps,
                 plan.carrier_freq_hz, plan.system,
@@ -280,6 +309,8 @@ class Receiver:
                 except ValueError:
                     # one stalled channel must not kill the receiver: drop
                     # the laggard (flowgraph restarts it via reacquisition)
+                    log.warning("%s: window overrun, dropping laggard",
+                                g.plan.name)
                     self._drop_laggard(g)
                     continue
                 progressed = True
@@ -323,6 +354,11 @@ class Receiver:
         plan = g.plan
         conf = plan.trk_conf
         out = result.outputs
+        if g.dumper is not None:
+            g.dumper.push(result)
+        for ch, ev in result.events:
+            log.info("%s ch%d prn %d: %s", plan.name, ch,
+                     g.channel_prn[ch], ev)
         for ch in range(plan.num_channels):
             ctl = g.tracker.ctl[ch]
             if ctl.phase not in (ChannelPhase.WIDE, ChannelPhase.NARROW):
@@ -394,6 +430,9 @@ class Receiver:
                     rem_code_chips=rem,
                 )
                 if ev["ephemeris_complete"]:
+                    if (plan.system, prn) not in self.ephemerides:
+                        log.info("%s%02d: ephemeris complete",
+                                 plan.system, prn)
                     self.ephemerides[(plan.system, prn)] = g.decoders[prn].eph
             # broadcast iono (LNAV SF4 page 18) feeds the solver's
             # Klobuchar model (reference msg_handler_telemetry iono intake,
@@ -453,10 +492,37 @@ class Receiver:
                     apply_atmosphere=self.cfg.apply_atmosphere,
                 )
                 if sol.valid:
+                    if not self.status.fixes:
+                        log.info(
+                            "first fix: lat %.5f lon %.5f h %.0f m "
+                            "(%d sats, TTFF %.1f s)",
+                            np.degrees(sol.lat_rad), np.degrees(sol.lon_rad),
+                            sol.height_m, sol.num_sats, t_ep,
+                        )
+                    if sol.raim_rejected:
+                        log.warning("RAIM rejected: %s", sol.raim_rejected)
+                    if self.pvt_kf is not None:
+                        pos, vel = self.pvt_kf.update(
+                            t_rx, sol.pos_ecef, sol.vel_ecef
+                        )
+                        from gnss_sdr_tpu.pvt.coords import ecef_to_llh
+
+                        sol.pos_ecef = pos
+                        sol.vel_ecef = vel
+                        sol.lat_rad, sol.lon_rad, sol.height_m = (
+                            ecef_to_llh(pos)
+                        )
                     self._last_fix = sol
                     self.status.fixes.append(sol)
                     if self.status.ttff_s is None:
                         self.status.ttff_s = t_ep
+
+    def close(self) -> None:
+        """Flush per-block dump files (end of run)."""
+        for g in self.groups:
+            for d in (g.dumper, g.acq_dumper):
+                if d is not None:
+                    d.close()
 
     # ------------------------------------------------- compat helper for CLI
     def _idle_channel(self) -> int | None:

@@ -53,6 +53,9 @@ class ScenarioConfig:
     rx_height_m: float = 80.0
     rx_clock_bias_s: float = 0.0
     rx_clock_drift_ss: float = 0.0
+    # constant receiver velocity in local ENU (dynamic scenarios; the
+    # reference's dynamic position_test uses an external motion file)
+    rx_vel_enu_mps: tuple = (0.0, 0.0, 0.0)
     min_elevation_deg: float = 15.0
     max_sats: int = 8
     noise: bool = True
@@ -108,6 +111,12 @@ class GpsScenario:
             np.deg2rad(cfg.rx_lat_deg), np.deg2rad(cfg.rx_lon_deg),
             cfg.rx_height_m,
         )
+        from gnss_sdr_tpu.pvt.coords import enu_matrix
+
+        e_mat = enu_matrix(np.deg2rad(cfg.rx_lat_deg),
+                           np.deg2rad(cfg.rx_lon_deg))
+        self.rx_vel_ecef = e_mat.T @ np.asarray(cfg.rx_vel_enu_mps,
+                                                dtype=np.float64)
         vis = visible_sats(
             self.ephs, self.rx_ecef, cfg.tow_start_s,
             np.deg2rad(cfg.min_elevation_deg),
@@ -142,11 +151,16 @@ class GpsScenario:
         t = sample / self.cfg.fs
         return self.cfg.rx_clock_bias_s + self.cfg.rx_clock_drift_ss * t
 
+    def rx_ecef_at(self, t_s: float) -> np.ndarray:
+        return self.rx_ecef + self.rx_vel_ecef * t_s
+
     def truth_at(self, prn: int, sample: float) -> dict:
         """Geometry truth for one satellite at a receiver sample index."""
+        t = sample / self.cfg.fs
         return truth_measurement(
-            self.ephs[prn], self.rx_ecef, self.rx_clock_tow(sample),
+            self.ephs[prn], self.rx_ecef_at(t), self.rx_clock_tow(sample),
             rx_clock_bias_s=self.rx_bias_at(sample),
+            rx_vel_ecef=self.rx_vel_ecef,
         )
 
     # ------------------------------------------------------------- grid setup
@@ -166,15 +180,16 @@ class GpsScenario:
             iono_m = np.zeros(n_grid)
             tropo_m = np.zeros(n_grid)
             for i, tg in enumerate(t_grid):
+                rx_pos = self.rx_ecef_at(tg)
                 tr = truth_measurement(
-                    self.ephs[prn], self.rx_ecef,
+                    self.ephs[prn], rx_pos,
                     cfg.tow_start_s + tg,
                     rx_clock_bias_s=cfg.rx_clock_bias_s
                     + cfg.rx_clock_drift_ss * tg,
                 )
                 ttx_sv[i] = tr["t_tx_sv"]
                 if cfg.tropo or iono_params is not None:
-                    az, el = az_el(self.rx_ecef, tr["sat_pos_rx_frame"])
+                    az, el = az_el(rx_pos, tr["sat_pos_rx_frame"])
                     if cfg.tropo:
                         tropo_m[i] = tropo_delay(el, hgt)
                     if iono_params is not None:

@@ -26,8 +26,9 @@ IONO_UTC = GpsIonoUtc(
 def atmo_receiver():
     scen = GpsScenario(ScenarioConfig(
         fs=FS,
+        # subframe-5 boundary; the next SF5 (almanac page) spans t=30-36 s
         tow_start_s=7314.0,
-        duration_s=32.0,
+        duration_s=38.0,
         cn0_dbhz=46.0,
         rx_clock_bias_s=2.1e-4,
         max_sats=6,

@@ -1,0 +1,145 @@
+"""Aux subsystems: assistance persistence, telecommand server, dumps, RAIM,
+PVT Kalman filter unit behavior."""
+
+import socket
+import time
+
+import numpy as np
+import pytest
+
+from gnss_sdr_tpu.pvt.kf import PvtKalmanFilter
+from gnss_sdr_tpu.receiver.assistance import load_assistance, save_assistance
+from gnss_sdr_tpu.simulate.constellation import make_constellation
+from gnss_sdr_tpu.telemetry.lnav import GpsIonoUtc
+
+
+def test_assistance_round_trip(tmp_path):
+    ephs = make_constellation(seed=2)
+    store = {("G", p): e for p, e in list(ephs.items())[:6]}
+    iu = GpsIonoUtc(alpha0=1e-8, beta0=96256.0, delta_t_ls=18,
+                    has_iono=True, has_utc=True)
+    path = tmp_path / "assist.xml"
+    save_assistance(path, store, iono_utc=iu)
+    data = load_assistance(path)
+    assert set(data["ephemerides"]) == set(store)
+    for k, eph in store.items():
+        got = data["ephemerides"][k]
+        assert got.sqrt_a == eph.sqrt_a
+        assert got.m0 == eph.m0
+        assert got.af0 == eph.af0
+        assert got.toe == eph.toe
+    assert data["iono_utc"].delta_t_ls == 18
+    assert data["iono_utc"].has_iono
+
+
+def test_assistance_galileo_round_trip(tmp_path):
+    from gnss_sdr_tpu.simulate.galileo import make_galileo_constellation
+
+    ephs = make_galileo_constellation(seed=2)
+    store = {("E", p): e for p, e in list(ephs.items())[:3]}
+    path = tmp_path / "assist.xml"
+    save_assistance(path, store)
+    data = load_assistance(path)
+    got = data["ephemerides"][("E", list(ephs)[0])]
+    assert got.system == "E"
+    assert got.sqrt_a == store[("E", list(ephs)[0])].sqrt_a
+
+
+def test_telecommand_server():
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.receiver.telecommand import TcpCmdServer
+
+    rx = Receiver(ReceiverConfig(fs=2.6e6, num_channels=2))
+    srv = TcpCmdServer(rx, port=0)
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port), timeout=5) as c:
+            c.recv(128)                       # banner
+            c.sendall(b"status\n")
+            time.sleep(0.1)
+            reply = c.recv(4096).decode()
+            assert "channel" in reply and "fix: none" in reply
+            c.sendall(b"coldstart\n")
+            time.sleep(0.1)
+            assert b"OK" in c.recv(128)
+            c.sendall(b"bogus\n")
+            time.sleep(0.1)
+            assert b"ERROR" in c.recv(128)
+        applied = srv.apply_pending()
+        assert applied == ["coldstart"]
+    finally:
+        srv.close()
+
+
+def test_tracking_dump_written(tmp_path):
+    from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code_table
+    from gnss_sdr_tpu.monitor.dumps import TrackingDumper
+    from gnss_sdr_tpu.tracking import Tracker
+    from gnss_sdr_tpu.tracking.conf import DllPllConf
+
+    conf = DllPllConf(
+        fs=2.6e6, code_length_chips=1023, code_rate_cps=1.023e6,
+        carrier_freq_hz=1575.42e6, max_channels=2, steps_per_block=5,
+    )
+    trk = Tracker(conf, gps_l1_ca_code_table())
+    trk.start_channel(0, 1, 0, 0.0, 0.0, 0, 0)
+    rng = np.random.default_rng(0)
+    window = (rng.normal(size=conf.window_samples)
+              + 1j * rng.normal(size=conf.window_samples)).astype(np.complex64)
+    dump = TrackingDumper(str(tmp_path / "trk.npz"))
+    res = trk.process(window, 0)
+    dump.push(res)
+    dump.close()
+    data = np.load(tmp_path / "trk.npz")
+    assert data["prompt"].shape == (5, 2)
+    assert data["abs_sample_end"].shape == (5, 2)
+    assert np.all(np.diff(data["abs_sample_end"][:, 0]) > 0)
+
+
+def test_raim_rejects_outlier():
+    """A 500 m pseudorange fault on one satellite must be excluded and the
+    solution restored (reference rtklib raim_fde)."""
+    from gnss_sdr_tpu.pvt.coords import llh_to_ecef
+    from gnss_sdr_tpu.pvt.solver import ObsEpoch, solve_pvt
+    from gnss_sdr_tpu.simulate.constellation import truth_measurement, visible_sats
+
+    ephs = make_constellation(seed=0)
+    rx = llh_to_ecef(np.deg2rad(41.275), np.deg2rad(1.9876), 80.0)
+    tow = 7320.0
+    prns = visible_sats(ephs, rx, tow, np.deg2rad(10.0))[:7]
+    assert len(prns) >= 6
+    obs = []
+    for i, p in enumerate(prns):
+        tr = truth_measurement(ephs[p], rx, tow)
+        pr = tr["pseudorange_m"] + (500.0 if i == 0 else 0.0)
+        obs.append(ObsEpoch(prn=p, pseudorange_m=pr,
+                            doppler_hz=tr["doppler_hz"]))
+    sol = solve_pvt(obs, ephs, tow, apply_atmosphere=False)
+    assert sol.valid
+    assert sol.raim_rejected == [("G", prns[0], "1C")], sol.raim_rejected
+    assert np.linalg.norm(sol.pos_ecef - rx) < 2.0, (
+        f"{np.linalg.norm(sol.pos_ecef - rx):.1f} m after RAIM"
+    )
+    # without RAIM the fault corrupts the fix
+    sol_off = solve_pvt(obs, ephs, tow, apply_atmosphere=False,
+                        raim_threshold_m=0.0)
+    assert np.linalg.norm(sol_off.pos_ecef - rx) > 20.0
+
+
+def test_pvt_kf_smooths_and_resets():
+    kf = PvtKalmanFilter()
+    rng = np.random.default_rng(0)
+    pos0 = np.array([6378137.0, 0.0, 0.0])
+    vel = np.array([10.0, 0.0, 0.0])
+    errs_raw, errs_kf = [], []
+    for k in range(100):
+        t = 0.1 * k
+        truth = pos0 + vel * t
+        meas = truth + rng.normal(scale=2.0, size=3)
+        p, v = kf.update(t, meas, vel + rng.normal(scale=0.3, size=3))
+        if k > 20:
+            errs_raw.append(np.linalg.norm(meas - truth))
+            errs_kf.append(np.linalg.norm(p - truth))
+    assert np.mean(errs_kf) < 0.5 * np.mean(errs_raw)
+    # a 1 km jump (receiver restarted elsewhere) resets rather than drags
+    p, v = kf.update(10.1, pos0 + 1000.0, None)
+    assert np.linalg.norm(p - (pos0 + 1000.0)) < 1.0
