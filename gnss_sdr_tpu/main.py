@@ -33,7 +33,7 @@ from gnss_sdr_tpu.utils.log import get_logger, setup_logging
 
 log = get_logger(__name__)
 
-_BAND_ORDER = ("L1", "L5")
+_BAND_ORDER = ("L1", "L5", "B1")
 
 
 def _build_chains(cfg):

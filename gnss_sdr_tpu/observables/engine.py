@@ -189,6 +189,19 @@ class ObservablesEngine:
                  float(carrier_phase_rad[k]) / (2.0 * np.pi))
             )
 
+    def apply_clock_correction(self, delta_s: float) -> None:
+        """Slew the receiver clock by -delta_s (reference
+        apply_rx_clock_offset, rtklib_pvt_gs.cc:1834: PVT feeds its
+        estimated bias back so pseudoranges stay near the nominal transit
+        time). Hatch states shift with the clock so smoothing continuity
+        is preserved."""
+        if self.t_rx_tow is None:
+            return
+        self.t_rx_tow -= delta_s
+        for st in self.ch:
+            if np.isfinite(st.sm_pr):
+                st.sm_pr -= C_LIGHT * delta_s
+
     def deanchor_keep_signal(self, ch: int) -> None:
         """Drop the TOW anchor (channel re-anchors at the next telemetry
         event) but keep the signal geometry configuration."""

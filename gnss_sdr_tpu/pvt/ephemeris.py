@@ -39,7 +39,9 @@ def eph_to_pos_vel_clock(
     per-frequency by the solver, as rtklib does).
     """
     a = eph.sqrt_a * eph.sqrt_a
-    gm = GM_GAL if getattr(eph, "system", "G") == "E" else GM_EARTH
+    # Galileo (GTRF) and BeiDou (CGCS2000) share the 3.986004418e14 value
+    gm = (GM_GAL if getattr(eph, "system", "G") in ("E", "C")
+          else GM_EARTH)
     n0 = np.sqrt(gm / a**3)
     tk = time_diff(t_sv, eph.toe)
     n = n0 + eph.delta_n

@@ -180,6 +180,10 @@ def _solve_core(
             # ephemeris' primary TGD (GPS TGD / Galileo BGD(E1,E5b)).
             if o.system == "E" and o.signal == "5X":
                 gd = o.tgd_gamma * getattr(eph, "bgd_e1e5a", eph.tgd)
+            elif o.system == "C":
+                # BeiDou TGD1 is defined at B1I itself (BDS-SIS-ICD
+                # 5.2.4.10) — no frequency scaling
+                gd = eph.tgd
             else:
                 gd = o.tgd_gamma * eph.tgd
             clk_corr = dts - gd

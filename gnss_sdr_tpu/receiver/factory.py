@@ -385,6 +385,11 @@ _PLAN_TABLE = {
         {"Galileo_E5a_DLL_PLL_Tracking"},
         "galileo_e5a_plan",
     ),
+    "B1": (
+        {"BEIDOU_B1I_PCPS_Acquisition"},
+        {"BEIDOU_B1I_DLL_PLL_Tracking"},
+        "beidou_b1i_plan",
+    ),
 }
 
 _DEFAULT_IMPLS = {
@@ -393,6 +398,7 @@ _DEFAULT_IMPLS = {
            "Galileo_E1_DLL_PLL_VEML_Tracking"),
     "L5": ("GPS_L5i_PCPS_Acquisition", "GPS_L5_DLL_PLL_Tracking"),
     "5X": ("Galileo_E5a_Pcps_Acquisition", "Galileo_E5a_DLL_PLL_Tracking"),
+    "B1": ("BEIDOU_B1I_PCPS_Acquisition", "BEIDOU_B1I_DLL_PLL_Tracking"),
 }
 
 
@@ -460,7 +466,8 @@ def get_signal_plans(cfg: ConfigurationInterface,
     counts = get_channel_counts(cfg)
     plans = []
     for sig, n in counts.items():
-        band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5"}.get(sig, "L1")
+        band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5",
+                "B1": "B1"}.get(sig, "L1")
         if isinstance(fs_by_band, dict):
             if band not in fs_by_band:
                 raise ValueError(

@@ -368,3 +368,88 @@ def galileo_e5a_plan(
         sec_data_levels=e5ai_secondary_levels(),
         acq_code_table=data_table,
     )
+
+
+def beidou_b1i_plan(
+    fs: float,
+    num_channels: int = 8,
+    doppler_max_hz: float = 5000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 30.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 5.0,
+    dll_bw_narrow_hz: float = 0.5,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    extend_correlation_symbols: int = 20,
+    search_prns: tuple = tuple(range(6, 30)),
+) -> SignalPlan:
+    """BeiDou B1I MEO/IGSO (D1 NAV, NH20 secondary on the data channel;
+    reference adapters BEIDOU_B1I_PCPS_Acquisition /
+    BEIDOU_B1I_DLL_PLL_Tracking / BEIDOU_B1I_Telemetry_Decoder, codes
+    beidou_b1i_signal_replica.cc).
+
+    The NH(20) secondary rides the single data component, so the engine's
+    secondary machinery runs with pilot == data code, Costas PLL retained
+    after lock (pilot_pll_atan2=False: nav bits still flip the carrier),
+    and coherent integration aligned to - and capped at - one 20 ms bit."""
+    from gnss_sdr_tpu.codes.beidou_b1i import beidou_b1i_code_table, nh20_levels
+    from gnss_sdr_tpu.constants import beidou_b1i as BDS
+    from gnss_sdr_tpu.telemetry.dnav import D1Decoder
+
+    table = beidou_b1i_code_table()
+    nh = np.tile(nh20_levels(), (table.shape[0], 1))
+    extend = min(extend_correlation_symbols, BDS.CODES_PER_BIT)
+    return SignalPlan(
+        name="B1",
+        system="C",
+        band="B1",
+        num_channels=num_channels,
+        code_table=table,
+        table_rate_cps=BDS.CODE_RATE_CPS,
+        carrier_freq_hz=BDS.FREQ_HZ,
+        code_period_s=BDS.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=BDS.CODE_LENGTH_CHIPS,
+            code_rate_cps=BDS.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            # NH chips flip the sign at any code boundary inside the
+            # window; the double-length FFT keeps one clean period
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=BDS.CODE_LENGTH_CHIPS,
+            code_rate_cps=BDS.CODE_RATE_CPS,
+            carrier_freq_hz=BDS.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=extend,
+            codes_per_bit=BDS.CODES_PER_BIT,
+            track_pilot=True,
+            sec_len_pilot=20,
+            sec_len_data=20,
+            pilot_pll_atan2=False,
+            data_on_quadrature=False,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=D1Decoder,
+        search_prns=search_prns,
+        data_code_table=table,
+        sec_pilot_table=nh,
+        sec_data_levels=nh20_levels(),
+        acq_code_table=table,
+    )

@@ -68,6 +68,10 @@ class ReceiverConfig:
     # position/velocity Kalman smoothing of the LS fixes (reference
     # Pvt.enable_pvt_kf -> pvt_kf.cc)
     enable_pvt_kf: bool = False
+    # slew the rx clock back through observables once PVT's bias estimate
+    # exceeds this (reference apply_rx_clock_offset, rtklib_pvt_gs.cc:1834);
+    # <= 0 disables
+    rx_clock_correction_s: float = 1e-3
 
 
 @dataclass
@@ -516,6 +520,14 @@ class Receiver:
                     self.status.fixes.append(sol)
                     if self.status.ttff_s is None:
                         self.status.ttff_s = t_ep
+                    # clock feedback loop: keep the free-running rx clock
+                    # near GPS time so pseudoranges stay near nominal
+                    thr = cfg.rx_clock_correction_s
+                    if thr > 0 and abs(sol.clock_bias_s) > thr:
+                        log.info("rx clock slew: %.3f ms",
+                                 sol.clock_bias_s * 1e3)
+                        self.obs.apply_clock_correction(sol.clock_bias_s)
+                        self._last_pvt_tow -= sol.clock_bias_s
 
     def close(self) -> None:
         """Flush per-block dump files (end of run)."""

@@ -51,6 +51,12 @@ class DllPllConf:
     track_pilot: bool = False
     sec_len_pilot: int = 1      # pilot secondary length in code periods
     sec_len_data: int = 1       # data secondary/symbol length in code periods
+    # Four-quadrant PLL after secondary lock. True for real pilot channels
+    # (no data modulation once the secondary is wiped). False for
+    # data-channel secondary codes (BeiDou B1I D1: nav bits still flip the
+    # carrier every sec epoch, so the loop must stay Costas and coherent
+    # integration must align to — and not exceed — the secondary epoch).
+    pilot_pll_atan2: bool = True
     # True when the data component is in phase quadrature to the pilot
     # (GPS L5 / Galileo E5a QPSK: data symbols appear on the imaginary axis
     # once the pilot PLL locks, reference Prompt_Q symbol extraction)

@@ -469,18 +469,22 @@ class Tracker:
             / conf.code_period_s
         )
         s = self.state
+        # align integration boundaries with the secondary epoch: with the
+        # data-channel secondary (B1I D1) a misaligned window straddles nav
+        # bit flips; for pilots the alignment is merely tidy
+        integ_len = int(conf.extend_correlation_symbols)
         self.state = s._replace(
             sec_idx=s.sec_idx.at[ch].set(int(idx_next)),
             sec_active=s.sec_active.at[ch].set(True),
-            use_atan2=s.use_atan2.at[ch].set(True),
+            use_atan2=s.use_atan2.at[ch].set(bool(conf.pilot_pll_atan2)),
             narrow=s.narrow.at[ch].set(True),
             fll_active=s.fll_active.at[ch].set(False),
             # zero the frequency-rate integrator as in _engage_extended
             pll_state=s.pll_state.at[ch, 1].set(0.0),
-            integ_len=s.integ_len.at[ch].set(
-                int(conf.extend_correlation_symbols)
+            integ_len=s.integ_len.at[ch].set(integ_len),
+            integ_count=s.integ_count.at[ch].set(
+                int(idx_next) % integ_len
             ),
-            integ_count=s.integ_count.at[ch].set(0),
             acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
             acc_samples=s.acc_samples.at[ch].set(0),
             acc_data=s.acc_data.at[ch].set(jnp.zeros((), jnp.complex64)),
