@@ -68,8 +68,24 @@ class AcqConfig:
 
     @property
     def fft_size(self) -> int:
+        """Correlation FFT length, rounded up to a power of two.
+
+        XLA's TPU FFT lowers non-power-of-two lengths through a dense DFT
+        matmul (O(N^2) HBM — a 20 ms L2C window at 2.046 Msps would
+        materialize a 26 GB [81840, 81840] matrix); power-of-two lengths
+        take the O(N log N) path. The local code is zero-padded to the FFT
+        length (linear correlation), so the extra bins only add unsearched
+        lags — peak search stays within one code period and the Pfa cell
+        count is unchanged.
+
+        Without bit_transition the window must still cover ncoh + one code
+        period of signal so every searched lag is a full linear correlation
+        (the classic circular trick is only exact when the FFT length is a
+        whole number of code periods, which power-of-two lengths aren't).
+        """
         n = self.coherent_samples
-        return 2 * n if self.bit_transition_flag else n
+        base = 2 * n if self.bit_transition_flag else n + self.samples_per_code
+        return 1 << (base - 1).bit_length()
 
     @property
     def input_samples(self) -> int:

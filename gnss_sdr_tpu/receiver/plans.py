@@ -453,3 +453,249 @@ def beidou_b1i_plan(
         sec_data_levels=nh20_levels(),
         acq_code_table=table,
     )
+
+
+def galileo_e5b_plan(
+    fs: float,
+    num_channels: int = 8,
+    doppler_max_hz: float = 4000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 20.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 5.0,
+    dll_bw_narrow_hz: float = 0.5,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    extend_correlation_symbols: int = 4,
+    search_prns: tuple = tuple(range(1, 37)),
+) -> SignalPlan:
+    """Galileo E5b: pilot (Q, CS100) tracking with data (I, CS4 x I/NAV)
+    symbol extraction (reference adapters Galileo_E5b_PCPS_Acquisition /
+    Galileo_E5b_DLL_PLL_Tracking / Galileo_E5b_Telemetry_Decoder; codes
+    galileo_e5_signal_replica.cc, I/NAV galileo_navigation_message.cc).
+
+    The E5b-I stream carries the same I/NAV structure as E1-B at
+    250 sym/s, so the existing InavDecoder consumes the data symbols; the
+    CS4 data secondary spans one 4 ms symbol."""
+    from gnss_sdr_tpu.codes.galileo_e5b import (
+        e5bi_secondary_levels,
+        e5bq_secondary_levels,
+        galileo_e5bi_code_table,
+        galileo_e5bq_code_table,
+    )
+    from gnss_sdr_tpu.constants import galileo_e5b as E5B
+
+    pilot_table = galileo_e5bq_code_table()
+    data_table = galileo_e5bi_code_table()
+    sec_pilot = np.stack([
+        e5bq_secondary_levels(p + 1) for p in range(pilot_table.shape[0])
+    ])
+    extend = max(extend_correlation_symbols, 1) * E5B.CODES_PER_SYMBOL
+    return SignalPlan(
+        name="7X",
+        system="E",
+        band="E5b",
+        num_channels=num_channels,
+        code_table=pilot_table,
+        table_rate_cps=E5B.CODE_RATE_CPS,
+        carrier_freq_hz=E5B.FREQ_HZ,
+        code_period_s=E5B.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=E5B.CODE_LENGTH_CHIPS,
+            code_rate_cps=E5B.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=E5B.CODE_LENGTH_CHIPS,
+            code_rate_cps=E5B.CODE_RATE_CPS,
+            carrier_freq_hz=E5B.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=extend,
+            codes_per_bit=E5B.CODES_PER_SYMBOL,
+            track_pilot=True,
+            sec_len_pilot=100,
+            sec_len_data=4,
+            data_on_quadrature=True,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=InavDecoder,
+        search_prns=search_prns,
+        data_code_table=data_table,
+        sec_pilot_table=sec_pilot,
+        sec_data_levels=e5bi_secondary_levels(),
+        acq_code_table=data_table,
+    )
+
+
+def gps_l2c_plan(
+    fs: float,
+    num_channels: int = 8,
+    doppler_max_hz: float = 4000.0,
+    doppler_step_hz: float = 60.0,
+    acq_dwells: int = 1,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 2.0,
+    dll_bw_hz: float = 0.5,
+    pll_bw_narrow_hz: float = 1.5,
+    dll_bw_narrow_hz: float = 0.25,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 2.0,
+    pull_in_time_s: float = 1.0,
+    extend_correlation_symbols: int = 1,   # CNAV flips every CM period
+    search_prns: tuple = tuple(range(1, 33)),
+) -> SignalPlan:
+    """GPS L2C, CM-only replica (reference adapters
+    GPS_L2_M_PCPS_Acquisition / GPS_L2_M_DLL_PLL_Tracking /
+    GPS_L2C_Telemetry_Decoder; code gps_l2c_signal_replica.cc).
+
+    The 20 ms CM period equals one 50 sym/s CNAV symbol, so tracking runs
+    extend_correlation_symbols=1 (symbol sign flips at every period
+    boundary) and telemetry consumes every period's prompt sign. The long
+    period narrows the Doppler bin spacing: step <= 1/(2T) = 25 Hz per bin
+    at full sensitivity; 60 Hz with the double-length FFT's relaxed
+    scalloping matches the reference adapter's default."""
+    from gnss_sdr_tpu.codes.gps_l2c import gps_l2cm_code_table
+    from gnss_sdr_tpu.constants import gps_l2c as L2C
+    from gnss_sdr_tpu.telemetry.cnav import CnavDecoder
+
+    return SignalPlan(
+        name="2S",
+        system="G",
+        band="L2",
+        num_channels=num_channels,
+        code_table=gps_l2cm_code_table(),
+        table_rate_cps=L2C.CODE_RATE_CPS,
+        carrier_freq_hz=L2C.FREQ_HZ,
+        code_period_s=L2C.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=L2C.CODE_LENGTH_CHIPS,
+            code_rate_cps=L2C.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+            # data-only BPSK at 50 sym/s has stable FLL/Costas false
+            # locks every 25 Hz; the two-step zoom hands tracking a
+            # Doppler inside the +-12.5 Hz true basin (reference
+            # make_2_steps / num_doppler_bins_step2)
+            make_two_steps=True,
+            doppler_step2_hz=8.0,
+            num_doppler_bins_step2=6,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=L2C.CODE_LENGTH_CHIPS,
+            code_rate_cps=L2C.CODE_RATE_CPS,
+            carrier_freq_hz=L2C.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=1,
+            codes_per_bit=L2C.CODES_PER_SYMBOL,
+            steps_per_block=4,          # 4 x 20 ms = 80 ms per device call
+            max_channels=num_channels,
+        ),
+        make_decoder=CnavDecoder,
+        search_prns=search_prns,
+    )
+
+
+def beidou_b3i_plan(
+    fs: float,
+    num_channels: int = 8,
+    doppler_max_hz: float = 5000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 30.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 5.0,
+    dll_bw_narrow_hz: float = 0.5,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    extend_correlation_symbols: int = 20,
+    search_prns: tuple = tuple(range(6, 30)),
+) -> SignalPlan:
+    """BeiDou B3I MEO/IGSO (D1 NAV + NH20, same framing as B1I but the
+    13-stage-LFSR wideband code at 10.23 Mcps; reference adapters
+    BEIDOU_B3I_PCPS_Acquisition / BEIDOU_B3I_DLL_PLL_Tracking /
+    BEIDOU_B3I_Telemetry_Decoder, codes beidou_b3i_signal_replica.cc)."""
+    from gnss_sdr_tpu.codes.beidou_b1i import nh20_levels
+    from gnss_sdr_tpu.codes.beidou_b3i import beidou_b3i_code_table
+    from gnss_sdr_tpu.constants import beidou_b3i as B3
+    from gnss_sdr_tpu.telemetry.dnav import D1Decoder
+
+    table = beidou_b3i_code_table()
+    nh = np.tile(nh20_levels(), (table.shape[0], 1))
+    extend = min(extend_correlation_symbols, B3.CODES_PER_BIT)
+    return SignalPlan(
+        name="B3",
+        system="C",
+        band="B3",
+        num_channels=num_channels,
+        code_table=table,
+        table_rate_cps=B3.CODE_RATE_CPS,
+        carrier_freq_hz=B3.FREQ_HZ,
+        code_period_s=B3.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=B3.CODE_LENGTH_CHIPS,
+            code_rate_cps=B3.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=B3.CODE_LENGTH_CHIPS,
+            code_rate_cps=B3.CODE_RATE_CPS,
+            carrier_freq_hz=B3.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=extend,
+            codes_per_bit=B3.CODES_PER_BIT,
+            track_pilot=True,
+            sec_len_pilot=20,
+            sec_len_data=20,
+            pilot_pll_atan2=False,
+            data_on_quadrature=False,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=D1Decoder,
+        search_prns=search_prns,
+        data_code_table=table,
+        sec_pilot_table=nh,
+        sec_data_levels=nh20_levels(),
+        acq_code_table=table,
+    )

@@ -63,7 +63,7 @@ class _SecondaryBand:
         c = 299_792_458.0
         for prn in self.prns:
             geo = primary._geo[prn]
-            gd = self._band_group_delay(prn)
+            gd = self._group_delay_shift(prn)
             base = geo["ttx_sv"] - gd
             self._grids[prn] = (
                 geo["t"],
@@ -250,3 +250,109 @@ class GalileoE5aBand(_SecondaryBand):
         return np.floor(
             (ttx - self._tow0) * E5A.SYMBOL_RATE_SPS
         ).astype(np.int64)
+
+
+class GalileoE5bBand(_SecondaryBand):
+    """Galileo E5b (I: I/NAV x CS4, Q: pilot x CS100) sharing a
+    GalileoScenario's geometry. The E5b-I symbol stream reuses the
+    primary scenario's live I/NAV encoding (both components run 250 sym/s
+    with the same page timing; the real SIS interleaves different word
+    sequences, which the word-agnostic InavDecoder doesn't depend on).
+    Reference analog: galileo_e5_signal_replica.cc +
+    galileo_telemetry_decoder_gs.cc I/NAV on E5b."""
+
+    freq_hz = 1207.14e6
+    code_rate = 10.23e6
+    code_len = 10230
+    signal = "7X"
+
+    def __init__(self, primary: GalileoScenario, fs: float,
+                 cn0_dbhz: float = 45.0, noise: bool = True) -> None:
+        super().__init__(primary, fs, cn0_dbhz, noise, seed_offset=79)
+
+    def _group_delay_shift(self, prn: int) -> float:
+        # primary grid = t_tx_sv - BGD(E1,E5b); E5b timeline =
+        # t_tx_sv - gamma_E5b * BGD(E1,E5b) (ICD eq. 15 broadcast-group-
+        # delay scaling between E1 and E5b)
+        gamma = (L1_HZ / self.freq_hz) ** 2
+        eph = self.primary.ephs[prn]
+        return eph.bgd_e1e5b - gamma * eph.bgd_e1e5b
+
+    def _build_symbols(self) -> None:
+        self._tow0 = self.primary._tow0
+        for p in self.prns:
+            self._signs[p] = self.primary._signs[p]
+
+    def _codes(self, prn: int):
+        from gnss_sdr_tpu.codes.galileo_e5b import (
+            galileo_e5bi_code,
+            galileo_e5bq_code,
+        )
+
+        return (galileo_e5bi_code(prn).astype(np.float64),
+                galileo_e5bq_code(prn).astype(np.float64))
+
+    def _secondaries(self, prn: int):
+        from gnss_sdr_tpu.codes.galileo_e5b import (
+            e5bi_secondary_levels,
+            e5bq_secondary_levels,
+        )
+
+        return (e5bi_secondary_levels().astype(np.float64),
+                e5bq_secondary_levels(prn).astype(np.float64))
+
+    def _symbol_idx(self, ttx: np.ndarray) -> np.ndarray:
+        return np.floor((ttx - self._tow0) * 250.0).astype(np.int64)
+
+
+class GpsL2Band(_SecondaryBand):
+    """GPS L2C CM-only band sharing a GpsScenario's geometry: BPSK CM
+    chips x CNAV (50 sym/s, 12 s messages). The CL multiplexing is not
+    modeled (the receiver's CM-only replica ignores it; on real SIS the
+    zero-mean CL half-chips just cost the documented 3 dB) — the data
+    component therefore carries the full configured C/N0 (the +3 dB
+    super().__init__ compensation undoes the QPSK half-power split).
+    Reference analog: gps_l2c_signal_replica.cc +
+    gps_l2c_telemetry_decoder_gs.cc signal model."""
+
+    freq_hz = 1227.60e6
+    code_rate = 0.5115e6
+    code_len = 10230
+    signal = "2S"
+
+    def __init__(self, primary: GpsScenario, fs: float,
+                 cn0_dbhz: float = 45.0, noise: bool = True) -> None:
+        super().__init__(primary, fs, cn0_dbhz + 10.0 * np.log10(2.0),
+                         noise, seed_offset=81)
+
+    def _group_delay_shift(self, prn: int) -> float:
+        # primary grid = t_tx_sv - TGD; L2 timeline = t_tx_sv - gamma*TGD
+        gamma = (L1_HZ / self.freq_hz) ** 2
+        tgd = self.primary.ephs[prn].tgd
+        return tgd - gamma * tgd
+
+    def _build_symbols(self) -> None:
+        from gnss_sdr_tpu.telemetry.cnav import CnavEncoder
+
+        msg_s = 12.0              # 600 symbols at 50 sym/s
+        cfg = self.primary.cfg
+        self._tow0 = msg_s * np.floor((cfg.tow_start_s - 0.1) / msg_s) - msg_s
+        n_msgs = int(np.ceil(cfg.duration_s / msg_s)) + 3
+        for p in self.prns:
+            enc = CnavEncoder(self.primary.ephs[p], tow0_s=self._tow0,
+                              msg_seconds=msg_s)
+            syms = enc.symbols(n_msgs)
+            self._signs[p] = 1.0 - 2.0 * syms.astype(np.float64)
+
+    def _codes(self, prn: int):
+        from gnss_sdr_tpu.codes.gps_l2c import gps_l2cm_code
+
+        cm = gps_l2cm_code(prn)
+        return cm, np.zeros_like(cm)     # no pilot component modeled
+
+    def _secondaries(self, prn: int):
+        one = np.ones(1, dtype=np.float64)
+        return one, one
+
+    def _symbol_idx(self, ttx: np.ndarray) -> np.ndarray:
+        return np.floor((ttx - self._tow0) * 50.0).astype(np.int64)

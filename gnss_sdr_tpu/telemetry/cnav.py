@@ -147,20 +147,27 @@ def parse_message(bits: np.ndarray) -> dict:
 
 class CnavEncoder:
     """Simulator-side CNAV symbol stream: message schedule 10,11,30
-    repeating from GPS time ``tow0_s`` (multiple of 6 s), continuously
-    convolutionally encoded (state carried across messages)."""
+    repeating from GPS time ``tow0_s`` (multiple of the message duration),
+    continuously convolutionally encoded (state carried across messages).
 
-    def __init__(self, eph: GpsEphemeris, tow0_s: float) -> None:
+    ``msg_seconds`` is the on-air duration of one 300-bit message: 6 s on
+    L5 (100 sym/s) and 12 s on L2 CM (50 sym/s, IS-GPS-200 §30.3.3); the
+    encoded TOW field always names the next message's start epoch."""
+
+    def __init__(self, eph: GpsEphemeris, tow0_s: float,
+                 msg_seconds: float = MSG_SECONDS) -> None:
         self.eph = eph
         self.tow0 = tow0_s
+        self.msg_seconds = msg_seconds
 
     def symbols(self, num_msgs: int) -> np.ndarray:
         """[num_msgs*600] symbols (0/1) from tow0 onward."""
         bits = []
         for k in range(num_msgs):
-            tow = self.tow0 + k * MSG_SECONDS
-            mtype = [10, 11, 30][int(tow / MSG_SECONDS) % 3]
-            bits.append(encode_message(self.eph, mtype, tow + MSG_SECONDS,
+            tow = self.tow0 + k * self.msg_seconds
+            mtype = [10, 11, 30][int(tow / self.msg_seconds) % 3]
+            bits.append(encode_message(self.eph, mtype,
+                                       tow + self.msg_seconds,
                                        self.eph.prn))
         return conv_encode(np.concatenate(bits), invert_g2=False)
 
@@ -199,8 +206,8 @@ class CnavDecoder:
         # need at least one full message plus sync/edge margin buffered, and
         # enough new symbols to plausibly complete a message (every half
         # message: decode latency matters more than the extra Viterbi pass)
-        if (len(self._hist) < 2 * MSG_BITS + 4 * self.EDGE
-                or self._pending < MSG_BITS):
+        if (len(self._hist) < 3 * MSG_BITS // 2 + 4 * self.EDGE
+                or self._pending < MSG_BITS // 2):
             return events
         self._pending = 0
         consumed_bits = 0

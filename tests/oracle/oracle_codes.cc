@@ -13,7 +13,9 @@
 #include <vector>
 
 #include "beidou_b1i_signal_replica.h"
+#include "beidou_b3i_signal_replica.h"
 #include "gps_sdr_signal_replica.h"
+#include "gps_l2c_signal_replica.h"
 #include "gps_l5_signal_replica.h"
 #include "galileo_e5_signal_replica.h"
 
@@ -76,6 +78,27 @@ int main(int argc, char **argv)
             std::vector<std::complex<float>> chips(10230);
             std::array<char, 3> sig = {'5', fam[3] == 'i' ? 'I' : 'Q', '\0'};
             galileo_e5_a_code_gen_complex_primary(
+                own::span<std::complex<float>>(chips.data(), chips.size()), prn, sig);
+            for (auto c : chips)
+                std::printf("%d %d\n", static_cast<int>(c.real()), static_cast<int>(c.imag()));
+        }
+    else if (!std::strcmp(fam, "b3i"))
+        {
+            std::vector<int32_t> chips(10230);
+            beidou_b3i_code_gen_int(own::span<int>(chips.data(), chips.size()), prn, 0);
+            for (auto c : chips) std::printf("%d\n", c);
+        }
+    else if (!std::strcmp(fam, "l2cm"))
+        {
+            std::vector<float> chips(10230);
+            gps_l2c_m_code_gen_float(own::span<float>(chips.data(), chips.size()), prn);
+            for (auto c : chips) std::printf("%d\n", static_cast<int>(c));
+        }
+    else if (!std::strcmp(fam, "e5bi") || !std::strcmp(fam, "e5bq"))
+        {
+            std::vector<std::complex<float>> chips(10230);
+            std::array<char, 3> sig = {'7', fam[3] == 'i' ? 'I' : 'Q', '\0'};
+            galileo_e5_b_code_gen_complex_primary(
                 own::span<std::complex<float>>(chips.data(), chips.size()), prn, sig);
             for (auto c : chips)
                 std::printf("%d %d\n", static_cast<int>(c.real()), static_cast<int>(c.imag()));

@@ -39,7 +39,9 @@ def oracle(tmp_path_factory):
          "-I", str(REF), "-I", str(SP), "-I", str(build / "shim"),
          "-o", str(exe), str(SRC),
          str(REF / "beidou_b1i_signal_replica.cc"),
+         str(REF / "beidou_b3i_signal_replica.cc"),
          str(REF / "gps_sdr_signal_replica.cc"),
+         str(REF / "gps_l2c_signal_replica.cc"),
          str(REF / "gps_l5_signal_replica.cc"),
          str(REF / "galileo_e5_signal_replica.cc")],
         check=True, capture_output=True,
@@ -51,7 +53,7 @@ def oracle(tmp_path_factory):
             text=True,
         ).stdout.split()
         vals = np.asarray([int(v) for v in out], dtype=np.float64)
-        if family in ("l5i", "l5q", "e5ai", "e5aq"):
+        if family in ("l5i", "l5q", "e5ai", "e5aq", "e5bi", "e5bq"):
             pairs = vals.reshape(-1, 2)
             # the component rides whichever axis the reference put it on
             col = int(np.argmax(np.abs(pairs).sum(axis=0)))
@@ -105,3 +107,37 @@ def test_galileo_e5a_codes_match_reference(oracle):
             ref = oracle(fam, prn)
             assert (np.array_equal(ours, ref)
                     or np.array_equal(ours, -ref)), f"{fam} PRN {prn}"
+
+
+def test_galileo_e5b_codes_match_reference(oracle):
+    from gnss_sdr_tpu.codes.galileo_e5b import (
+        galileo_e5bi_code,
+        galileo_e5bq_code,
+    )
+
+    for prn in (1, 11, 30):
+        for fam, gen in (("e5bi", galileo_e5bi_code),
+                         ("e5bq", galileo_e5bq_code)):
+            ours = gen(prn)
+            ref = oracle(fam, prn)
+            assert (np.array_equal(ours, ref)
+                    or np.array_equal(ours, -ref)), f"{fam} PRN {prn}"
+
+
+def test_gps_l2cm_codes_match_reference(oracle):
+    from gnss_sdr_tpu.codes.gps_l2c import gps_l2cm_code
+
+    for prn in (1, 8, 24, 32):
+        ours = gps_l2cm_code(prn)
+        ref = oracle("l2cm", prn)
+        assert (np.array_equal(ours, ref)
+                or np.array_equal(ours, -ref)), f"L2 CM PRN {prn}"
+
+
+def test_beidou_b3i_codes_match_reference(oracle):
+    from gnss_sdr_tpu.codes.beidou_b3i import beidou_b3i_code
+
+    for prn in (1, 6, 19, 37):
+        ours = beidou_b3i_code(prn)
+        ref = oracle("b3i", prn)
+        assert np.array_equal(ours, ref), f"B3I PRN {prn} mismatch"
