@@ -70,24 +70,32 @@ def kernel_bench() -> float:
         max_channels=channels,
         steps_per_block=steps,
     )
-    state = init_state(conf)
-    state = state._replace(
-        enabled=jnp.ones((channels,), bool),
-        carrier_doppler=jnp.linspace(-4000, 4000, channels).astype(jnp.float32),
-    )
+    from gnss_sdr_tpu.utils.cplx import dev_combine, host_to_ri
+
+    # complex state leaves are born on device inside a compiled program and
+    # the sample window crosses the boundary as f32 re/im lanes — this
+    # runtime cannot transfer complex64 host<->device (utils/cplx.py)
+    def _init():
+        state = init_state(conf)
+        return state._replace(
+            enabled=jnp.ones((channels,), bool),
+            carrier_doppler=jnp.linspace(-4000, 4000, channels).astype(
+                jnp.float32
+            ),
+        )
+
+    state = jax.jit(_init)()
     rng = np.random.default_rng(0)
-    # device arrays must be jit *arguments*, not closure constants (this
-    # runtime cannot transfer committed buffers back to host for embedding)
-    window = jnp.asarray(
+    window = jnp.asarray(host_to_ri(
         (rng.normal(size=conf.window_samples)
          + 1j * rng.normal(size=conf.window_samples)).astype(np.complex64)
-    )
+    ))
     codes = jnp.asarray(gps_l1_ca_code_table()[np.arange(channels) % 32])
     pos0 = state.pos
 
-    def run_once(st, window, codes, pos0):
+    def run_once(st, window_ri, codes, pos0):
         new_state, outs = track_block(
-            conf, st._replace(pos=pos0), window, codes
+            conf, st._replace(pos=pos0), dev_combine(window_ri), codes
         )
         # keep outputs tiny on device; return only what forces the work
         return new_state, outs.n_samples.astype(jnp.int32)

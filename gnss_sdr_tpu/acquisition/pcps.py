@@ -35,6 +35,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from gnss_sdr_tpu.codes.resample import resample_code
+from gnss_sdr_tpu.ops.fft import fft as mxu_fft, ifft as mxu_ifft
+from gnss_sdr_tpu.utils.cplx import dev_combine, host_to_ri
+from gnss_sdr_tpu.utils.transfer import fetch
 
 
 @dataclass(frozen=True)
@@ -86,6 +89,15 @@ class AcqConfig:
         n = self.coherent_samples
         base = 2 * n if self.bit_transition_flag else n + self.samples_per_code
         return 1 << (base - 1).bit_length()
+
+    @property
+    def dwell_stride(self) -> int:
+        """Sample stride between non-coherent dwell windows: the largest
+        whole number of code periods <= fft_size. A stride that is not a
+        whole number of periods would shift the correlation peak's lag from
+        dwell to dwell (fft_size is rounded up to a power of two, which is
+        never a whole period count), smearing the accumulated peak."""
+        return self.samples_per_code * (self.fft_size // self.samples_per_code)
 
     @property
     def input_samples(self) -> int:
@@ -158,14 +170,26 @@ class PcpsAcquisition:
         code_table: np.ndarray,   # [P, code_length] chips (+-1), float
         prns: list[int],          # PRN id per table row (for reporting)
         mesh=None,
+        freq_offset_table: np.ndarray | None = None,  # [P] Hz (FDMA)
     ) -> None:
         """`mesh`: optional jax.sharding.Mesh with a "ch" axis — the
         (channel/PRN) hypothesis batch shards across devices with the code
         FFT table and Doppler grid replicated (SURVEY.md §2.4 P3/P10);
-        the caller pads the batch to a multiple of the mesh size."""
+        the caller pads the batch to a multiple of the mesh size.
+
+        `freq_offset_table`: for FDMA signals (GLONASS), the per-table-row
+        carrier offset from band center; the search grid for row p becomes
+        offset[p] + doppler_grid, with the reported Doppler excluding the
+        deterministic offset."""
         self.conf = conf
         self.prns = list(prns)
         self.mesh = mesh
+        self._offsets = (
+            None if freq_offset_table is None
+            else jax.device_put(
+                np.asarray(freq_offset_table, dtype=np.float32)
+            )
+        )
         spc = conf.samples_per_code
         ncoh = conf.coherent_samples
         fft_size = conf.fft_size
@@ -182,11 +206,12 @@ class PcpsAcquisition:
         if fft_size != ncoh:  # bit_transition: zero-pad the local code
             pad = np.zeros((sampled.shape[0], fft_size - ncoh), dtype=np.float32)
             sampled = np.concatenate([sampled, pad], axis=1)
-        # Kept on device and passed as jit *arguments* (not closure constants:
-        # tracing a committed device array as a constant forces a device->host
-        # copy, which some TPU runtimes do not implement).
+        # Kept on device as float32 re/im lanes and passed as jit *arguments*
+        # (complex64 cannot cross the host<->device boundary on this runtime,
+        # and tracing a committed device array as a closure constant forces a
+        # device->host copy — see utils/cplx.py).
         self._codes_fft_conj = jax.device_put(
-            np.conj(np.fft.fft(sampled, axis=1)).astype(np.complex64)
+            host_to_ri(np.conj(np.fft.fft(sampled, axis=1)).astype(np.complex64))
         )
 
         dop = conf.doppler_grid_hz()
@@ -228,56 +253,86 @@ class PcpsAcquisition:
             row = NamedSharding(mesh, P("ch"))
             row2 = NamedSharding(mesh, P("ch", None))
             rep = NamedSharding(mesh, P())
+            off_sh = (rep,) if self._offsets is not None else (None,)
             self._jit_acquire = jax.jit(
                 self._acquire,
-                in_shardings=(row2, row, rep, rep),
+                in_shardings=(row2, row, rep, rep) + off_sh,
                 out_shardings=(row, row, row, row),
             )
             self._jit_refine = jax.jit(
                 self._refine,
-                in_shardings=(row2, row, row, rep),
+                in_shardings=(row2, row, row, rep) + off_sh,
                 out_shardings=(row, row, row),
             )
             self._jit_second_peak = jax.jit(
                 self._second_peak,
-                in_shardings=(row2, row, row, row, rep),
+                in_shardings=(row2, row, row, row, rep) + off_sh,
                 out_shardings=row,
             )
 
     # ------------------------------------------------------------------ core
-    def _grid_chunk(self, x: jnp.ndarray, cfc: jnp.ndarray, dop: jnp.ndarray) -> jnp.ndarray:
+    def _dwell_windows(self, x: jnp.ndarray) -> jnp.ndarray:
+        """[C, input] -> [C, K, F] dwell windows at whole-code-period stride
+        (see AcqConfig.dwell_stride)."""
+        conf = self.conf
+        if conf.max_dwells == 1:
+            return x[:, None, : conf.fft_size]
+        s = conf.dwell_stride
+        return jnp.stack(
+            [x[:, k * s : k * s + conf.fft_size]
+             for k in range(conf.max_dwells)],
+            axis=1,
+        )
+
+    def _grid_chunk(self, x: jnp.ndarray, cfc: jnp.ndarray, dop: jnp.ndarray,
+                    off: jnp.ndarray | None = None) -> jnp.ndarray:
         """Correlation grid for one Doppler chunk.
 
         x:   [C, K, F] complex64 input blocks (K dwells)
         cfc: [C, F] conj code FFT
         dop: [B] doppler bins
+        off: optional [C] per-channel FDMA carrier offsets (Hz)
         returns [C, B, spc] non-coherently accumulated magnitude^2 (f32).
         """
         conf = self.conf
         n = jnp.arange(conf.fft_size, dtype=jnp.float32)
-        phase = (-2.0 * jnp.pi / np.float32(conf.fs)) * dop[:, None] * n[None, :]
-        wipe = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))  # [B, F]
-        xw = x[:, :, None, :] * wipe[None, None, :, :]          # [C, K, B, F]
-        corr = jnp.fft.ifft(jnp.fft.fft(xw, axis=-1) * cfc[:, None, None, :], axis=-1)
+        if off is None:
+            phase = (
+                -2.0 * jnp.pi / np.float32(conf.fs)
+            ) * dop[:, None] * n[None, :]
+            wipe = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))  # [B, F]
+            xw = x[:, :, None, :] * wipe[None, None, :, :]      # [C, K, B, F]
+        else:
+            f = dop[None, :, None] + off[:, None, None]         # [C, B, 1]
+            phase = (-2.0 * jnp.pi / np.float32(conf.fs)) * f * n[None, None, :]
+            wipe = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))  # [C, B, F]
+            xw = x[:, :, None, :] * wipe[:, None, :, :]         # [C, K, B, F]
+        # MXU-matmul FFTs (ops/fft.py): XLA's FFT op is unusable on this
+        # backend, and the matmul formulation puts the O(N log N) work on
+        # the systolic array anyway.
+        corr = mxu_ifft(mxu_fft(xw) * cfc[:, None, None, :])
         mag2 = jnp.abs(corr.astype(jnp.complex64)) ** 2         # [C, K, B, F]
         mag2 = mag2.sum(axis=1)                                 # [C, B, F] dwell accumulate
         # valid code delays: first samples_per_code lags (peak repeats each
         # code period; bit_transition pad region excluded)
         return mag2[:, :, : conf.samples_per_code]
 
-    def _acquire(self, x: jnp.ndarray, prn_idx: jnp.ndarray,
-                 codes_fft_conj: jnp.ndarray, dop_padded: jnp.ndarray):
-        """Full coarse search. x: [C, K*F] complex64, prn_idx: [C] int32."""
+    def _acquire(self, x_ri: jnp.ndarray, prn_idx: jnp.ndarray,
+                 codes_fft_conj: jnp.ndarray, dop_padded: jnp.ndarray,
+                 offsets: jnp.ndarray | None = None):
+        """Full coarse search. x_ri: [C, K*F, 2] f32, prn_idx: [C] int32."""
         conf = self.conf
+        x = dev_combine(x_ri)
         C = x.shape[0]
-        xk = x.reshape(C, conf.max_dwells, conf.fft_size)
-        cfc = codes_fft_conj[prn_idx]  # [C, F]
+        xk = self._dwell_windows(x)
+        cfc = dev_combine(codes_fft_conj)[prn_idx]  # [C, F]
+        off = None if offsets is None else offsets[prn_idx]
         chunk = conf.doppler_chunk
         dop_chunks = dop_padded.reshape(self._num_chunks, chunk)
 
         def step(carry, dop):
             best_val, best_dop, best_lag = carry
-            g = self._grid_chunk(xk, cfc, dop)                 # [C, B, spc]
+            g = self._grid_chunk(xk, cfc, dop, off)            # [C, B, spc]
             flat = g.reshape(C, -1)
             idx = jnp.argmax(flat, axis=1)
             val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
@@ -299,48 +354,60 @@ class PcpsAcquisition:
         input_power = jnp.mean(jnp.abs(x) ** 2, axis=1)        # [C]
         return best_val, best_dop, best_lag, input_power
 
-    def _second_peak(self, x: jnp.ndarray, prn_idx: jnp.ndarray,
+    def _second_peak(self, x_ri: jnp.ndarray, prn_idx: jnp.ndarray,
                      best_dop: jnp.ndarray, best_lag: jnp.ndarray,
-                     codes_fft_conj: jnp.ndarray) -> jnp.ndarray:
+                     codes_fft_conj: jnp.ndarray,
+                     offsets: jnp.ndarray | None = None) -> jnp.ndarray:
         """Second-largest delay-domain peak in each channel's best Doppler
         bin, excluding +-1 chip around the main peak (reference
         first_vs_second_peak_statistic, pcps_acquisition.cc:452-516)."""
         conf = self.conf
+        x = dev_combine(x_ri)
         C = x.shape[0]
-        xk = x.reshape(C, conf.max_dwells, conf.fft_size)
-        cfc = codes_fft_conj[prn_idx]
+        xk = self._dwell_windows(x)
+        cfc = dev_combine(codes_fft_conj)[prn_idx]
+        off = (jnp.zeros((C,), jnp.float32) if offsets is None
+               else offsets[prn_idx])
         excl = int(np.ceil(conf.fs / conf.code_rate_cps))  # 1 chip, samples
         spc = conf.samples_per_code
         lags = jnp.arange(spc, dtype=jnp.int32)
 
-        def one(xc, cf, d, lag):
-            g = self._grid_chunk(xc[None], cf[None], d[None])[0, 0]  # [spc]
+        def one(xc, cf, d, lag, o):
+            g = self._grid_chunk(
+                xc[None], cf[None], (d + o)[None]
+            )[0, 0]                                            # [spc]
             dist = jnp.minimum((lags - lag) % spc, (lag - lags) % spc)
             return jnp.max(jnp.where(dist <= excl, -jnp.inf, g))
 
-        return jax.vmap(one)(xk, cfc, best_dop, best_lag)
+        return jax.vmap(one)(xk, cfc, best_dop, best_lag, off)
 
-    def _refine(self, x: jnp.ndarray, prn_idx: jnp.ndarray, center_dop: jnp.ndarray,
-                codes_fft_conj: jnp.ndarray):
+    def _refine(self, x_ri: jnp.ndarray, prn_idx: jnp.ndarray, center_dop: jnp.ndarray,
+                codes_fft_conj: jnp.ndarray,
+                offsets: jnp.ndarray | None = None):
         """Second-step narrow Doppler zoom around per-channel coarse peaks
         (reference make_2_steps / num_doppler_bins_step2)."""
         conf = self.conf
+        x = dev_combine(x_ri)
         C = x.shape[0]
-        xk = x.reshape(C, conf.max_dwells, conf.fft_size)
-        cfc = codes_fft_conj[prn_idx]
+        xk = self._dwell_windows(x)
+        cfc = dev_combine(codes_fft_conj)[prn_idx]
+        fdma_off = (jnp.zeros((C,), jnp.float32) if offsets is None
+                    else offsets[prn_idx])
         nb2 = 2 * conf.num_doppler_bins_step2 + 1
         offs = (jnp.arange(nb2, dtype=jnp.float32) - conf.num_doppler_bins_step2) * np.float32(
             conf.doppler_step2_hz
         )
-        dops = center_dop[:, None] + offs[None, :]             # [C, B2]
+        dops = center_dop[:, None] + fdma_off[:, None] + offs[None, :]  # [C, B2]
 
-        def one(xc, cf, dc):
+        def one(xc, cf, dc, o):
             g = self._grid_chunk(xc[None], cf[None], dc)[0]    # [B2, spc]
             flat = g.reshape(-1)
             idx = jnp.argmax(flat)
-            return flat[idx], dc[idx // conf.samples_per_code], (idx % conf.samples_per_code).astype(jnp.int32)
+            # reported Doppler excludes the deterministic FDMA offset
+            return (flat[idx], dc[idx // conf.samples_per_code] - o,
+                    (idx % conf.samples_per_code).astype(jnp.int32))
 
-        return jax.vmap(one)(xk, cfc, dops)
+        return jax.vmap(one)(xk, cfc, dops, fdma_off)
 
     # ------------------------------------------------------------------- API
     def acquire(self, x, prn_idx) -> AcqResults:
@@ -358,22 +425,24 @@ class PcpsAcquisition:
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
                 prn_idx = np.concatenate(
                     [prn_idx, np.repeat(prn_idx[-1:], pad)])
-        x = jnp.asarray(x)
+        x = jnp.asarray(host_to_ri(x))          # [C, N, 2] f32 on device
         prn_idx = jnp.asarray(prn_idx)
         val, dop, lag, power = self._jit_acquire(
-            x, prn_idx, self._codes_fft_conj, self._dop_padded
+            x, prn_idx, self._codes_fft_conj, self._dop_padded, self._offsets
         )
         if conf.make_two_steps:
-            val, dop, lag = self._jit_refine(x, prn_idx, dop, self._codes_fft_conj)
-        val_np = np.asarray(val, dtype=np.float64)[:n_real]
-        power = np.asarray(power, dtype=np.float64)[:n_real]
+            val, dop, lag = self._jit_refine(
+                x, prn_idx, dop, self._codes_fft_conj, self._offsets
+            )
+        val_np = fetch(val).astype(np.float64)[:n_real]
+        power = fetch(power).astype(np.float64)[:n_real]
         if conf.statistic == "peak1_peak2":
             # first vs second delay-domain peak in the winning Doppler bin
             # (reference first_vs_second_peak_statistic)
             p2 = self._jit_second_peak(
-                x, prn_idx, dop, lag, self._codes_fft_conj
+                x, prn_idx, dop, lag, self._codes_fft_conj, self._offsets
             )
-            p2 = np.asarray(p2, dtype=np.float64)[:n_real]
+            p2 = fetch(p2).astype(np.float64)[:n_real]
             stat = val_np / np.maximum(p2, 1e-30)
         else:
             # normalized CFAR statistic: peak / (sigma^2 * N_coh * K);
@@ -383,8 +452,8 @@ class PcpsAcquisition:
         return AcqResults(
             detected=stat > self.threshold,
             test_statistic=stat,
-            delay_samples=np.asarray(lag, dtype=np.float64)[:n_real],
-            doppler_hz=np.asarray(dop, dtype=np.float64)[:n_real],
+            delay_samples=fetch(lag).astype(np.float64)[:n_real],
+            doppler_hz=fetch(dop).astype(np.float64)[:n_real],
             input_power=power,
             threshold=self.threshold,
         )

@@ -30,6 +30,13 @@ from gnss_sdr_tpu.conditioner.filters import (
     pulse_blanking_block,
 )
 from gnss_sdr_tpu.conditioner.resampler import polyphase_resample
+from gnss_sdr_tpu.utils.cplx import (
+    dev_combine,
+    dev_split,
+    host_from_ri,
+    host_to_ri,
+)
+from gnss_sdr_tpu.utils.transfer import fetch
 
 _RES_TAPS = 8  # polyphase interpolator taps (GR MMSE interpolator is 8-tap)
 
@@ -71,7 +78,9 @@ class SignalConditioner:
         else:
             taps = jnp.ones((1,), jnp.float32)
         self.taps = taps
-        self._tail = jnp.zeros((taps.shape[0] - 1,), jnp.complex64)
+        # FIR tail carried as f32 re/im lanes (complex64 arrays cannot be
+        # created outside a compiled program on this runtime)
+        self._tail = jnp.zeros((taps.shape[0] - 1, 2), jnp.float32)
         self._lo_phase = jnp.zeros((), jnp.float64)
         # fractional-resampler carry: unconsumed mid-rate samples + position
         self._res_carry = np.zeros(0, dtype=np.complex64)
@@ -80,7 +89,13 @@ class SignalConditioner:
 
         @jax.jit
         def _run(raw, tail, lo_phase):
-            x = adapter(raw)
+            # complex blocks arrive as f32 [N, 2] re/im lanes (complex64
+            # cannot cross the host->device boundary on this runtime);
+            # integer capture formats go through their dtype adapter
+            if raw.ndim == 2 and raw.dtype == jnp.float32:
+                x = dev_combine(raw)
+            else:
+                x = adapter(raw)
             if cfg.enable_pulse_blanking:
                 x = pulse_blanking_block(x, cfg.pulse_blanking_sigmas)
             if cfg.enable_notch:
@@ -95,7 +110,7 @@ class SignalConditioner:
                 )
                 x = x * lo
                 lo_phase = jnp.mod(lo_phase + w * n, 2.0 * np.pi)
-            xt = jnp.concatenate([tail, x])
+            xt = jnp.concatenate([dev_combine(tail), x])
             y = fir_apply(xt, taps, cfg.decimation)
             # carry the FULL unconsumed residue: the next block's first
             # output must use xt[n_out*decim:], so when the block length is
@@ -104,20 +119,33 @@ class SignalConditioner:
             # arbitrary-length FIFO/UDP blocks; tail length is static per
             # trace — at most `decimation` distinct lengths get compiled)
             n_out = (xt.shape[0] - (taps.shape[0] - 1)) // cfg.decimation
-            new_tail = xt[n_out * cfg.decimation:]
-            return y, new_tail, lo_phase
+            new_tail = dev_split(xt[n_out * cfg.decimation:])
+            return dev_split(y), new_tail, lo_phase
 
         self._run = _run
+
+        @partial(jax.jit, static_argnames=("n_out",))
+        def _resample_ri(buf_ri, ratio, n_out, frac0):
+            y = polyphase_resample(
+                dev_combine(buf_ri), ratio, n_out, frac0, _RES_TAPS
+            )
+            return dev_split(y)
+
+        self._resample_ri = _resample_ri
 
     # ------------------------------------------------------------- streaming
     def process(self, raw: np.ndarray) -> np.ndarray:
         """Condition one raw block; returns the final-rate complex64 chunk."""
-        y, self._tail, self._lo_phase = self._run(
+        raw = np.asarray(raw)
+        if np.iscomplexobj(raw):
+            raw = host_to_ri(raw)
+        y_ri, self._tail, self._lo_phase = self._run(
             jnp.asarray(raw), self._tail, self._lo_phase
         )
+        y = host_from_ri(fetch(y_ri))
         if not self.cfg.fs_out:
-            return np.asarray(y)
-        return self._resample(np.asarray(y))
+            return y
+        return self._resample(y)
 
     def _resample(self, y_mid: np.ndarray) -> np.ndarray:
         half = _RES_TAPS // 2
@@ -128,11 +156,9 @@ class SignalConditioner:
         if n_out <= 0:
             self._res_carry = buf
             return np.zeros(0, dtype=np.complex64)
-        out = np.asarray(
-            polyphase_resample(
-                jnp.asarray(buf), self._ratio, n_out, pos, _RES_TAPS
-            )
-        )
+        out = host_from_ri(fetch(self._resample_ri(
+            jnp.asarray(host_to_ri(buf)), self._ratio, n_out, pos
+        )))
         end_pos = pos + n_out * self._ratio
         start = max(int(np.floor(end_pos)) - (half - 1), 0)
         self._res_carry = buf[start:]

@@ -28,6 +28,8 @@ import jax.numpy as jnp
 import numpy as np
 from scipy import signal as sp_signal
 
+from gnss_sdr_tpu.ops.fft import fft as mxu_fft, ifft as mxu_ifft
+
 
 # --------------------------------------------------------------------- design
 def design_fir(
@@ -111,13 +113,13 @@ def notch_filter_block(x: jnp.ndarray, pfa_ratio: float = 10.0) -> jnp.ndarray:
     mask covers a CW's full leakage skirt and any number of interferers in
     one elementwise pass — no per-peak loop.
     """
-    spec = jnp.fft.fft(x)
+    spec = mxu_fft(x)
     p = jnp.abs(spec) ** 2
     floor = jnp.median(p.astype(jnp.float32))
     hit = p > pfa_ratio * floor
     scale = jnp.where(hit, jnp.sqrt(floor / jnp.maximum(p, floor)), 1.0)
     spec = spec * scale.astype(spec.dtype)
-    return jnp.fft.ifft(spec).astype(jnp.complex64)
+    return mxu_ifft(spec).astype(jnp.complex64)
 
 
 # ----------------------------------------------------------- pulse blanking

@@ -49,6 +49,10 @@ class ChannelObsState:
     code_rate_cps: float = 0.0
     wavelength_m: float = 0.0
     fs: float = 0.0
+    # FDMA (GLONASS): tracking's accumulated carrier phase includes the
+    # deterministic slot-offset ramp; it is removed at push time so the
+    # phase observable carries Doppler only (cycle-slip + Hatch math)
+    carrier_offset_hz: float = 0.0
     # carrier-smoothing (Hatch filter) state
     sm_pr: float = np.nan
     sm_phase: float = np.nan
@@ -106,11 +110,14 @@ class ObservablesEngine:
         system: str = "G",
         fs: float | None = None,
         signal: str = "1C",
+        carrier_offset_hz: float = 0.0,
     ) -> None:
         """Set one channel's signal geometry (multi-constellation mixing;
         the reference's hybrid_observables reads these off each channel's
         Gnss_Synchro). `fs` is the channel's band sample rate (dual-band
-        receivers run bands at different rates; stamps are band-local)."""
+        receivers run bands at different rates; stamps are band-local).
+        ``carrier_freq_hz`` is the channel's ACTUAL carrier (for GLONASS,
+        slot frequency = band center + k * 562.5 kHz)."""
         st = self.ch[ch]
         st.code_period_s = code_period_s
         st.code_rate_cps = code_rate_cps
@@ -118,6 +125,7 @@ class ObservablesEngine:
         st.system = system
         st.signal = signal
         st.fs = self.fs if fs is None else fs
+        st.carrier_offset_hz = carrier_offset_hz
 
     # ------------------------------------------------------------- anchoring
     def anchor(
@@ -183,10 +191,12 @@ class ObservablesEngine:
                 return
             st.t_tx += n * st.code_period_s
             st.last_stamp = s
+            phase_cyc = float(carrier_phase_rad[k]) / (2.0 * np.pi)
+            if st.carrier_offset_hz:
+                phase_cyc -= st.carrier_offset_hz * (s / st.fs)
             st.hist.append(
                 (s, st.t_tx + float(rem_code_chips[k]) / st.code_rate_cps,
-                 float(dopplers[k]),
-                 float(carrier_phase_rad[k]) / (2.0 * np.pi))
+                 float(dopplers[k]), phase_cyc)
             )
 
     def apply_clock_correction(self, delta_s: float) -> None:

@@ -35,11 +35,11 @@ def state_shardings(mesh: Mesh) -> TrackingState:
     mat = NamedSharding(mesh, P(CHANNEL_AXIS, None))
     return TrackingState(
         enabled=row, pos=row, rem_code_phase=row, code_freq=row,
-        carrier_phase=row, carrier_doppler=row,
+        carrier_phase=row, carrier_doppler=row, carrier_offset=row,
         pll_state=mat, dll_state=mat,
-        prev_prompt=row, fll_active=row, narrow=row, use_atan2=row,
+        prev_prompt=mat, fll_active=row, narrow=row, use_atan2=row,
         integ_len=row, integ_count=row, acc_taps=mat, acc_samples=row,
-        sec_idx=row, sec_active=row, acc_data=row, acc_data_count=row,
+        sec_idx=row, sec_active=row, acc_data=mat, acc_data_count=row,
     )
 
 
@@ -55,8 +55,12 @@ def make_sharded_track_block(conf: DllPllConf, mesh: Mesh):
     win_sh = NamedSharding(mesh, P())                 # replicated
     codes_sh = NamedSharding(mesh, P(CHANNEL_AXIS, None))
 
-    def fn(state, window, codes):
-        return track_block(conf, state, window, codes)
+    def fn(state, window_ri, codes):
+        # window crosses the boundary as f32 [W, 2] re/im lanes
+        # (see utils/cplx.py)
+        from gnss_sdr_tpu.utils.cplx import dev_combine
+
+        return track_block(conf, state, dev_combine(window_ri), codes)
 
     return jax.jit(
         fn,

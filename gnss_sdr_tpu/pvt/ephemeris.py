@@ -37,7 +37,13 @@ def eph_to_pos_vel_clock(
 
     The clock bias includes the relativistic correction but NOT TGD (applied
     per-frequency by the solver, as rtklib does).
+
+    Non-Keplerian ephemerides (GLONASS state vectors, SBAS corrections)
+    plug in by exposing a ``pos_vel_clock(t)`` method (duck dispatch, the
+    rtklib geph2pos/seph2pos split re-expressed).
     """
+    if hasattr(eph, "pos_vel_clock"):
+        return eph.pos_vel_clock(t_sv)
     a = eph.sqrt_a * eph.sqrt_a
     # Galileo (GTRF) and BeiDou (CGCS2000) share the 3.986004418e14 value
     gm = (GM_GAL if getattr(eph, "system", "G") in ("E", "C")

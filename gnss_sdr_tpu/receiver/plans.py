@@ -56,6 +56,15 @@ class SignalPlan:
     # per-block binary dumps (reference dump/dump_filename per block)
     dump_filename: str | None = None
     acq_dump_filename: str | None = None
+    # FDMA (GLONASS): per-PRN-row carrier offsets from band center; the
+    # acquisition grid and tracking NCO add offset(prn), and the channel's
+    # true carrier is carrier_freq_hz + offset(prn)
+    freq_offset_table: np.ndarray | None = None      # [P] Hz
+
+    def carrier_offset_hz(self, prn: int) -> float:
+        if self.freq_offset_table is None:
+            return 0.0
+        return float(self.freq_offset_table[self.prn_row(prn)])
 
     @property
     def fs(self) -> float:

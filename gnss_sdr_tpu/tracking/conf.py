@@ -16,6 +16,11 @@ class DllPllConf:
     code_rate_cps: float
     carrier_freq_hz: float
 
+    # FDMA (GLONASS): per-channel carrier offsets ride in
+    # TrackingState.carrier_offset; the wipeoff phase is computed in f64
+    # (offsets reach MHz — far beyond f32 phase precision over a period)
+    fdma: bool = False
+
     # Correlator geometry
     early_late_spacing_chips: float = 0.5
     very_early_late_spacing_chips: float = 0.0   # > 0 enables VEML (5 taps, BOC)

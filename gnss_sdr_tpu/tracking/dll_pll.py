@@ -46,10 +46,18 @@ from gnss_sdr_tpu.tracking.discriminators import (
     pll_costas_atan,
 )
 from gnss_sdr_tpu.tracking.loop_filter import loop_filter_step
+from gnss_sdr_tpu.utils.cplx import dev_combine, dev_split
 
 
 class TrackingState(NamedTuple):
-    """Per-channel tracking state ([C]-shaped leaves)."""
+    """Per-channel tracking state ([C]-shaped leaves).
+
+    Complex quantities are stored as float32 [..., 2] re/im lanes: the TPU
+    runtime in use cannot even *create* complex64 arrays outside a compiled
+    program (see utils/cplx.py), and the host FSM mutates these leaves
+    eagerly between blocks. ``track_block`` combines them to complex64 on
+    entry and splits on exit.
+    """
 
     enabled: jnp.ndarray            # bool — channel active
     pos: jnp.ndarray                # i32 — next-step start, window-relative
@@ -57,20 +65,21 @@ class TrackingState(NamedTuple):
     code_freq: jnp.ndarray          # f64 — chips/s
     carrier_phase: jnp.ndarray      # f64 — accumulated rad
     carrier_doppler: jnp.ndarray    # f32 — Hz
+    carrier_offset: jnp.ndarray     # f64 — Hz, per-channel FDMA offset (GLONASS)
     pll_state: jnp.ndarray          # [C,2] f32
     dll_state: jnp.ndarray          # [C,2] f32
-    prev_prompt: jnp.ndarray        # c64 — last boundary prompt (FLL)
+    prev_prompt: jnp.ndarray        # [C,2] f32 ri — last boundary prompt (FLL)
     fll_active: jnp.ndarray         # bool
     narrow: jnp.ndarray             # bool — narrow-bandwidth mode
     use_atan2: jnp.ndarray          # bool — four-quadrant PLL (pilot/sec-locked)
     integ_len: jnp.ndarray          # i32 — code periods per loop update
     integ_count: jnp.ndarray        # i32
-    acc_taps: jnp.ndarray           # [C,T] c64 — coherent accumulators
+    acc_taps: jnp.ndarray           # [C,T,2] f32 ri — coherent accumulators
     acc_samples: jnp.ndarray        # i32 — samples in current integration
     # pilot/secondary-code tracking (track_pilot plans)
     sec_idx: jnp.ndarray            # i32 — code-period index in the secondary epoch
     sec_active: jnp.ndarray         # bool — secondary wipeoff engaged
-    acc_data: jnp.ndarray           # c64 — data-component coherent accumulator
+    acc_data: jnp.ndarray           # [C,2] f32 ri — data-component accumulator
     acc_data_count: jnp.ndarray     # i32 — periods in the data accumulator
 
 
@@ -103,19 +112,20 @@ def init_state(conf: DllPllConf) -> TrackingState:
         code_freq=jnp.full((c,), conf.code_rate_cps, jnp.float64),
         carrier_phase=jnp.zeros((c,), jnp.float64),
         carrier_doppler=jnp.zeros((c,), jnp.float32),
+        carrier_offset=jnp.zeros((c,), jnp.float64),
         pll_state=jnp.zeros((c, 2), jnp.float32),
         dll_state=jnp.zeros((c, 2), jnp.float32),
-        prev_prompt=jnp.zeros((c,), jnp.complex64),
+        prev_prompt=jnp.zeros((c, 2), jnp.float32),
         fll_active=jnp.zeros((c,), bool),
         narrow=jnp.zeros((c,), bool),
         use_atan2=jnp.zeros((c,), bool),
         integ_len=jnp.ones((c,), jnp.int32),
         integ_count=jnp.zeros((c,), jnp.int32),
-        acc_taps=jnp.zeros((c, t), jnp.complex64),
+        acc_taps=jnp.zeros((c, t, 2), jnp.float32),
         acc_samples=jnp.zeros((c,), jnp.int32),
         sec_idx=jnp.zeros((c,), jnp.int32),
         sec_active=jnp.zeros((c,), bool),
-        acc_data=jnp.zeros((c,), jnp.complex64),
+        acc_data=jnp.zeros((c, 2), jnp.float32),
         acc_data_count=jnp.zeros((c,), jnp.int32),
     )
 
@@ -150,6 +160,11 @@ def track_block(
     k = jnp.arange(n_max, dtype=jnp.float32)                  # [N]
 
     def step(st: TrackingState, _):
+        # complex state leaves live as f32 re/im lanes (see TrackingState)
+        prev_prompt_c = dev_combine(st.prev_prompt)            # [C]
+        acc_taps_c = dev_combine(st.acc_taps)                  # [C, T]
+        acc_data_c = dev_combine(st.acc_data)                  # [C]
+
         # ---- period geometry from current NCO frequencies -----------------
         code_step = st.code_freq / fs                          # f64 chips/sample
         n_f = (code_len - st.rem_code_phase) / code_step
@@ -163,9 +178,23 @@ def track_block(
         mask = k[None, :] < n[:, None].astype(jnp.float32)     # [C, N]
 
         # ---- carrier wipeoff ----------------------------------------------
-        phase0 = jnp.mod(st.carrier_phase, 2.0 * np.pi).astype(jnp.float32)
-        ph_step = (two_pi / np.float32(fs)) * st.carrier_doppler
-        ph = phase0[:, None] + ph_step[:, None] * k[None, :]   # [C, N]
+        if conf.fdma:
+            # FDMA (GLONASS): the per-channel slot offset (up to +-4 MHz)
+            # rides on top of the Doppler. The per-sample phase is computed
+            # in f64 and reduced mod 2*pi before the f32 sincos — at 4 MHz
+            # the phase sweeps ~2.8e4 rad per period, far beyond f32's
+            # absolute precision.
+            k64 = jnp.arange(n_max, dtype=jnp.float64)
+            freq = st.carrier_offset + st.carrier_doppler.astype(jnp.float64)
+            ph64 = (
+                jnp.mod(st.carrier_phase, 2.0 * np.pi)[:, None]
+                + (2.0 * np.pi / fs) * freq[:, None] * k64[None, :]
+            )
+            ph = jnp.mod(ph64, 2.0 * np.pi).astype(jnp.float32)
+        else:
+            phase0 = jnp.mod(st.carrier_phase, 2.0 * np.pi).astype(jnp.float32)
+            ph_step = (two_pi / np.float32(fs)) * st.carrier_doppler
+            ph = phase0[:, None] + ph_step[:, None] * k[None, :]  # [C, N]
         wipe = jax.lax.complex(jnp.cos(ph), -jnp.sin(ph))
         xw = x * wipe * mask                                   # [C, N]
 
@@ -242,14 +271,14 @@ def track_block(
             wipe_d = jnp.ones_like(corr_data.real)
 
         # ---- coherent accumulation ----------------------------------------
-        acc_taps = st.acc_taps + corr * wipe_p[:, None]
+        acc_taps = acc_taps_c + corr * wipe_p[:, None]
         acc_samples = st.acc_samples + n
         integ_count = jnp.where(st.enabled, st.integ_count + 1, 0)
         boundary = (integ_count >= st.integ_len) & st.enabled
 
         # data-symbol accumulation: one symbol spans sec_len_data periods,
         # completing when this period's secondary index ends a symbol
-        acc_data = st.acc_data + (corr_data * wipe_d).astype(jnp.complex64)
+        acc_data = acc_data_c + (corr_data * wipe_d).astype(jnp.complex64)
         acc_data_count = st.acc_data_count + 1
         data_boundary = ((st.sec_idx % sd) == sd - 1) & st.enabled
         sec_idx_next = jnp.where(
@@ -267,7 +296,7 @@ def track_block(
             pll_atan2(prompt_acc.real, prompt_acc.imag),
             pll_costas_atan(prompt_acc.real, prompt_acc.imag),
         ) / two_pi                                             # cycles
-        freq_err = fll_atan(st.prev_prompt, prompt_acc, t_int)  # Hz
+        freq_err = fll_atan(prev_prompt_c, prompt_acc, t_int)  # Hz
 
         pll_bw = jnp.where(st.narrow, np.float32(conf.pll_bw_narrow_hz),
                            np.float32(conf.pll_bw_hz))
@@ -309,9 +338,12 @@ def track_block(
 
         # ---- advance NCO state by the consumed period ---------------------
         nf64 = n.astype(jnp.float64)
+        nco_freq = st.carrier_doppler.astype(jnp.float64) + (
+            st.carrier_offset if conf.fdma else 0.0
+        )
         carrier_phase = st.carrier_phase + (
             2.0 * np.pi / fs
-        ) * st.carrier_doppler.astype(jnp.float64) * nf64
+        ) * nco_freq * nf64
         rem_new = st.rem_code_phase + nf64 * code_step - code_len
         rem_new = jnp.where(rem_new < 0.0, rem_new + code_len, rem_new)
 
@@ -324,27 +356,28 @@ def track_block(
             code_freq=upd(code_freq_new, st.code_freq),
             carrier_phase=upd(carrier_phase, st.carrier_phase),
             carrier_doppler=upd(doppler_new, st.carrier_doppler),
+            carrier_offset=st.carrier_offset,
             pll_state=jnp.where(
                 (boundary & st.enabled)[:, None], pll_st_new, st.pll_state
             ),
             dll_state=jnp.where(
                 (boundary & st.enabled)[:, None], dll_st_new, st.dll_state
             ),
-            prev_prompt=bsel(prompt_acc, st.prev_prompt),
+            prev_prompt=dev_split(bsel(prompt_acc, prev_prompt_c)),
             fll_active=st.fll_active,
             narrow=st.narrow,
             use_atan2=st.use_atan2,
             integ_len=st.integ_len,
             integ_count=jnp.where(boundary, 0, integ_count),
-            acc_taps=jnp.where(
+            acc_taps=dev_split(jnp.where(
                 boundary[:, None], jnp.zeros_like(acc_taps), acc_taps
-            ),
+            )),
             acc_samples=jnp.where(boundary, 0, acc_samples),
             sec_idx=sec_idx_next,
             sec_active=st.sec_active,
-            acc_data=jnp.where(
+            acc_data=dev_split(jnp.where(
                 data_boundary, jnp.zeros_like(acc_data), acc_data
-            ),
+            )),
             acc_data_count=jnp.where(data_boundary, 0, acc_data_count),
         )
         out = StepOutputs(

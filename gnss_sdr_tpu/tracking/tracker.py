@@ -27,6 +27,7 @@ import numpy as np
 from gnss_sdr_tpu.tracking.conf import DllPllConf
 from gnss_sdr_tpu.tracking.dll_pll import TrackingState, init_state, track_block
 from gnss_sdr_tpu.tracking.lock_detectors import carrier_lock_detector, cn0_svn_estimator
+from gnss_sdr_tpu.utils.cplx import dev_combine, host_to_ri
 from gnss_sdr_tpu.utils.hostpack import make_spec, pack_tree, unpack_tree
 from gnss_sdr_tpu.utils.transfer import fetch
 
@@ -96,7 +97,10 @@ class Tracker:
         P2/P10). conf.max_channels must divide evenly."""
         self.conf = conf
         self.code_table = np.asarray(code_table, dtype=np.float32)
-        self.state: TrackingState = init_state(conf)
+        # materialize the initial state inside a compiled program so its
+        # complex64/f64 leaves are born on device (no host->device transfer
+        # of unsupported dtypes; see utils/cplx.py)
+        self.state: TrackingState = jax.jit(lambda: init_state(conf))()
         c = conf.max_channels
         self.codes = np.zeros((c, code_table.shape[1]), dtype=np.float32)
         self.pos_abs = np.zeros(c, dtype=np.int64)    # absolute next sample
@@ -146,9 +150,10 @@ class Tracker:
         )
         spec = self._spec
 
-        def _track_packed(state, window, codes, data_codes, sec_p, sec_d):
+        def _track_packed(state, window_ri, codes, data_codes, sec_p, sec_d):
             new_state, outs = track_block(
-                conf, state, window, codes, data_codes, sec_p, sec_d
+                conf, state, dev_combine(window_ri), codes, data_codes,
+                sec_p, sec_d
             )
             # raveled so the output buffer has a trivial layout (some remote
             # runtimes cannot transfer non-default-layout buffers)
@@ -193,6 +198,7 @@ class Tracker:
         acq_doppler_hz: float,
         acq_samplestamp: int,
         current_abs_sample: int,
+        carrier_offset_hz: float = 0.0,
     ) -> None:
         """Pull-in: align to the first code boundary at/after the stream head
         (reference state 1, dll_pll_veml_tracking.cc:1949-1982)."""
@@ -229,23 +235,26 @@ class Tracker:
             code_freq=s.code_freq.at[ch].set(code_freq),
             carrier_phase=s.carrier_phase.at[ch].set(0.0),
             carrier_doppler=s.carrier_doppler.at[ch].set(fd),
+            carrier_offset=s.carrier_offset.at[ch].set(
+                float(carrier_offset_hz)
+            ),
             pll_state=s.pll_state.at[ch].set(
                 jnp.array([fd, 0.0], dtype=jnp.float32)
                 if self.conf.pll_filter_order >= 2
                 else jnp.zeros(2, jnp.float32)
             ),
             dll_state=s.dll_state.at[ch].set(jnp.zeros(2, jnp.float32)),
-            prev_prompt=s.prev_prompt.at[ch].set(jnp.zeros((), jnp.complex64)),
+            prev_prompt=s.prev_prompt.at[ch].set(0.0),
             fll_active=s.fll_active.at[ch].set(bool(conf.enable_fll_pull_in)),
             narrow=s.narrow.at[ch].set(False),
             use_atan2=s.use_atan2.at[ch].set(False),
             integ_len=s.integ_len.at[ch].set(1),
             integ_count=s.integ_count.at[ch].set(0),
-            acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_taps=s.acc_taps.at[ch].set(0.0),
             acc_samples=s.acc_samples.at[ch].set(0),
             sec_idx=s.sec_idx.at[ch].set(0),
             sec_active=s.sec_active.at[ch].set(False),
-            acc_data=s.acc_data.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_data=s.acc_data.at[ch].set(0.0),
             acc_data_count=s.acc_data_count.at[ch].set(0),
         )
 
@@ -284,7 +293,7 @@ class Tracker:
             pos=jnp.asarray(np.maximum(rel, 0).astype(np.int32))
         )
         new_state, packed = self._track_packed(
-            st, jnp.asarray(np.asarray(window, dtype=np.complex64)),
+            st, jnp.asarray(host_to_ri(window)),
             jnp.asarray(self.codes),
             jnp.asarray(self.data_codes) if conf.track_pilot else None,
             jnp.asarray(self.sec_pilot) if conf.track_pilot else None,
@@ -485,9 +494,9 @@ class Tracker:
             integ_count=s.integ_count.at[ch].set(
                 int(idx_next) % integ_len
             ),
-            acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_taps=s.acc_taps.at[ch].set(0.0),
             acc_samples=s.acc_samples.at[ch].set(0),
-            acc_data=s.acc_data.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_data=s.acc_data.at[ch].set(0.0),
             acc_data_count=s.acc_data_count.at[ch].set(0),
         )
 
@@ -521,6 +530,6 @@ class Tracker:
             integ_count=s.integ_count.at[ch].set(
                 since_edge % int(conf.extend_correlation_symbols)
             ),
-            acc_taps=s.acc_taps.at[ch].set(jnp.zeros((), jnp.complex64)),
+            acc_taps=s.acc_taps.at[ch].set(0.0),
             acc_samples=s.acc_samples.at[ch].set(0),
         )
