@@ -30,31 +30,53 @@ _G2_TAPS = {
 
 CODE_LENGTH = 1023
 
+# G2 delays for the C/A-family codes specified by delay rather than phase
+# taps: SBAS PRN 120..138 (RTCA DO-229; reference gps_sdr_signal_replica.cc
+# delays[32:]) and QZSS PRN 193..202 (IS-QZSS-PNT Table 3.2.2-1; reference
+# qzss_signal_replica.cc qzss_l1_table).
+_G2_DELAYS = {
+    120: 145, 121: 175, 122: 52, 123: 21, 124: 237, 125: 235, 126: 886,
+    127: 657, 128: 634, 129: 762, 130: 355, 131: 1012, 132: 176, 133: 603,
+    134: 130, 135: 359, 136: 595, 137: 68, 138: 386,
+    193: 339, 194: 208, 195: 711, 196: 189, 197: 263, 198: 537, 199: 663,
+    200: 942, 201: 173, 202: 900,
+}
 
-@functools.lru_cache(maxsize=64)
+
+@functools.lru_cache(maxsize=128)
 def gps_l1_ca_code(prn: int) -> np.ndarray:
     """Return the 1023-chip C/A code for ``prn`` as int8 in {+1, -1}.
 
     Chip value +1 corresponds to binary 0, -1 to binary 1 (BPSK mapping),
-    matching the convention of the reference replica generator.
+    matching the convention of the reference replica generator. Covers the
+    whole C/A code family: GPS PRN 1-32 (G2 phase taps), SBAS PRN 120-138
+    and QZSS PRN 193-202 (G2 delay).
     """
-    if prn not in _G2_TAPS:
-        raise ValueError(f"GPS PRN must be in 1..32, got {prn}")
-    t1, t2 = _G2_TAPS[prn]
+    if prn not in _G2_TAPS and prn not in _G2_DELAYS:
+        raise ValueError(f"unsupported C/A-family PRN {prn}")
 
     g1 = np.ones(10, dtype=np.int64)
     g2 = np.ones(10, dtype=np.int64)
-    chips = np.empty(CODE_LENGTH, dtype=np.int8)
+    g1_seq = np.empty(CODE_LENGTH, dtype=np.int64)
+    g2_seq = np.empty(CODE_LENGTH, dtype=np.int64)
+    taps = _G2_TAPS.get(prn)
+    g2_sel = np.empty(CODE_LENGTH, dtype=np.int64)
     for i in range(CODE_LENGTH):
-        bit = g1[9] ^ (g2[t1 - 1] ^ g2[t2 - 1])
-        chips[i] = 1 - 2 * bit
+        g1_seq[i] = g1[9]
+        g2_seq[i] = g2[9]
+        if taps is not None:
+            g2_sel[i] = g2[taps[0] - 1] ^ g2[taps[1] - 1]
         fb1 = g1[2] ^ g1[9]
         fb2 = g2[1] ^ g2[2] ^ g2[5] ^ g2[7] ^ g2[8] ^ g2[9]
         g1[1:] = g1[:-1]
         g1[0] = fb1
         g2[1:] = g2[:-1]
         g2[0] = fb2
-    return chips
+    if taps is None:
+        # delayed-G2 formulation: code = G1 XOR G2 shifted by the delay
+        g2_sel = np.roll(g2_seq, _G2_DELAYS[prn])
+    bits = g1_seq ^ g2_sel
+    return (1 - 2 * bits).astype(np.int8)
 
 
 @functools.lru_cache(maxsize=1)

@@ -111,6 +111,47 @@ def gps_l5q_code_table() -> np.ndarray:
     return (1.0 - 2.0 * _code_table_bits("Q").astype(np.float32))
 
 
+# QZSS L5 XB initial register states, PRN 193..202 (IS-QZSS-PNT Table
+# 3.2.5-1; reference qzss_signal_replica.cc qzss_l5_table). The QZSS codes
+# are specified by XB *initial state* (stage 1 first) rather than by the
+# GPS-style code advance.
+_QZSS_L5I_XB_INIT = {
+    193: 0b0110000101110, 194: 0b0110010011111, 195: 0b1000111001100,
+    196: 0b0111101110001, 197: 0b0011111100001, 198: 0b0000001110001,
+    199: 0b1010110100100, 200: 0b0100001110110, 201: 0b0111110100011,
+    202: 0b0001111001011,
+}
+_QZSS_L5Q_XB_INIT = {
+    193: 0b1001110000111, 194: 0b0110100111010, 195: 0b0110001100110,
+    196: 0b0000100001100, 197: 0b0101000101101, 198: 0b1000001010111,
+    199: 0b0011001110001, 200: 0b0100011100110, 201: 0b0100101100101,
+    202: 0b1110001010111,
+}
+
+
+def _run_xb_from(init13: int) -> np.ndarray:
+    """Free-running XB from a 13-bit initial state (MSB = stage 1)."""
+    s = [(init13 >> (12 - i)) & 1 for i in range(13)]
+    out = np.empty(CODE_LENGTH_CHIPS, dtype=np.uint8)
+    for n in range(CODE_LENGTH_CHIPS):
+        out[n] = s[12]
+        fb = s[12] ^ s[11] ^ s[7] ^ s[6] ^ s[5] ^ s[3] ^ s[2] ^ s[0]
+        s = [fb] + s[:12]
+    return out
+
+
+def qzss_l5i_code(prn: int) -> np.ndarray:
+    """QZSS L5I chips in {+1,-1}, PRN 193..202."""
+    bits = _run_xa() ^ _run_xb_from(_QZSS_L5I_XB_INIT[prn])
+    return (1 - 2 * bits.astype(np.int8)).astype(np.int8)
+
+
+def qzss_l5q_code(prn: int) -> np.ndarray:
+    """QZSS L5Q chips in {+1,-1}, PRN 193..202."""
+    bits = _run_xa() ^ _run_xb_from(_QZSS_L5Q_XB_INIT[prn])
+    return (1 - 2 * bits.astype(np.int8)).astype(np.int8)
+
+
 def nh10_levels() -> np.ndarray:
     """NH10 data-component secondary code in {+1,-1}."""
     return (1 - 2 * np.asarray(NH10, dtype=np.int8)).astype(np.float32)

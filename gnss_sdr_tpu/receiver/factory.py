@@ -350,7 +350,8 @@ def get_channel_counts(cfg: ConfigurationInterface) -> dict[str, int]:
     """Per-signal channel counts (Channels_1C.count etc.,
     gnss_block_factory.cc GetChannels grouping)."""
     out = {}
-    for sig in ("1C", "1B", "2S", "L5", "5X", "7X", "1G", "2G", "B1", "B3"):
+    for sig in ("1C", "1B", "2S", "L5", "5X", "7X", "1G", "2G", "B1", "B3",
+                "J1", "J5", "SBAS"):
         n = cfg.property(f"Channels_{sig}.count", 0)
         if n:
             out[sig] = n
@@ -405,6 +406,22 @@ _PLAN_TABLE = {
         {"BEIDOU_B3I_DLL_PLL_Tracking"},
         "beidou_b3i_plan",
     ),
+    "1G": (
+        {"GLONASS_L1_CA_PCPS_Acquisition"},
+        {"GLONASS_L1_CA_DLL_PLL_Tracking",
+         "GLONASS_L1_CA_DLL_PLL_C_Aid_Tracking"},
+        "glonass_l1_ca_plan",
+    ),
+    "J1": (
+        {"QZSS_L1_PCPS_Acquisition"},
+        {"QZSS_L1_CA_DLL_PLL_Tracking"},
+        "qzss_l1_ca_plan",
+    ),
+    "SBAS": (
+        {"SBAS_L1_PCPS_Acquisition", "GPS_L1_CA_PCPS_Acquisition"},
+        {"SBAS_L1_DLL_PLL_Tracking", "GPS_L1_CA_DLL_PLL_Tracking"},
+        "sbas_l1_plan",
+    ),
 }
 
 _DEFAULT_IMPLS = {
@@ -417,6 +434,10 @@ _DEFAULT_IMPLS = {
     "7X": ("Galileo_E5b_PCPS_Acquisition", "Galileo_E5b_DLL_PLL_Tracking"),
     "2S": ("GPS_L2_M_PCPS_Acquisition", "GPS_L2_M_DLL_PLL_Tracking"),
     "B3": ("BEIDOU_B3I_PCPS_Acquisition", "BEIDOU_B3I_DLL_PLL_Tracking"),
+    "1G": ("GLONASS_L1_CA_PCPS_Acquisition",
+           "GLONASS_L1_CA_DLL_PLL_Tracking"),
+    "J1": ("QZSS_L1_PCPS_Acquisition", "QZSS_L1_CA_DLL_PLL_Tracking"),
+    "SBAS": ("SBAS_L1_PCPS_Acquisition", "SBAS_L1_DLL_PLL_Tracking"),
 }
 
 
@@ -458,13 +479,17 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
     opt("dll_bw_narrow_hz", f"Tracking_{sig}.dll_bw_narrow_hz", 0.0)
     opt("enable_fll_pull_in", f"Tracking_{sig}.enable_fll_pull_in", False)
     opt("fll_bw_hz", f"Tracking_{sig}.fll_bw_hz", 0.0)
-    if sig != "1B":
+    if sig == "1B":
+        opt("early_late_space_chips",
+            f"Tracking_{sig}.early_late_space_chips", 0.0)
+    elif sig in ("1G", "SBAS"):
+        # integration length is fixed by the symbol structure (GNAV 10 ms
+        # meander chip; SBAS 2 ms symbol)
+        opt("acq_dwells", f"Acquisition_{sig}.max_dwells", 0)
+    else:
         opt("acq_dwells", f"Acquisition_{sig}.max_dwells", 0)
         opt("extend_correlation_symbols",
             f"Tracking_{sig}.extend_correlation_symbols", 0)
-    else:
-        opt("early_late_space_chips",
-            f"Tracking_{sig}.early_late_space_chips", 0.0)
     plan = make(**kwargs)
     # per-block dumps (reference Tracking_XX.dump / dump_filename)
     if cfg.property(f"Tracking_{sig}.dump", False):
@@ -485,8 +510,8 @@ def get_signal_plans(cfg: ConfigurationInterface,
     plans = []
     for sig, n in counts.items():
         band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5",
-                "B1": "B1", "7X": "E5b", "2S": "L2", "B3": "B3"}.get(
-                    sig, "L1")
+                "B1": "B1", "7X": "E5b", "2S": "L2", "B3": "B3",
+                "1G": "G1", "J1": "L1", "SBAS": "L1"}.get(sig, "L1")
         if isinstance(fs_by_band, dict):
             if band not in fs_by_band:
                 raise ValueError(

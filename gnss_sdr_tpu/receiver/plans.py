@@ -708,3 +708,193 @@ def beidou_b3i_plan(
         sec_data_levels=nh20_levels(),
         acq_code_table=table,
     )
+
+
+def glonass_l1_ca_plan(
+    fs: float,
+    num_channels: int = 6,
+    doppler_max_hz: float = 5000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 30.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 6.0,
+    dll_bw_narrow_hz: float = 0.75,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    search_prns: tuple = tuple(range(1, 25)),
+) -> SignalPlan:
+    """GLONASS L1 C/A (FDMA; reference adapters
+    GLONASS_L1_CA_PCPS_Acquisition / GLONASS_L1_CA_DLL_PLL_Tracking /
+    GLONASS_L1_CA_Telemetry_Decoder, code glonass_l1_signal_replica.cc).
+
+    "PRN" = orbital slot 1..24; all slots share one 511-chip code and are
+    separated by the FDMA carrier offset k(slot) * 562.5 kHz, carried in
+    the plan's freq_offset_table and in TrackingState.carrier_offset
+    (conf.fdma). Telemetry: GNAV at 10 ms symbols (bit sync at
+    codes_per_bit=10, then 10-period extended integration)."""
+    from gnss_sdr_tpu.codes.glonass_ca import (
+        glonass_ca_code_table,
+        slot_freq_offsets_hz,
+    )
+    from gnss_sdr_tpu.constants import glonass_l1 as GLO
+    from gnss_sdr_tpu.telemetry.gnav import GnavDecoder
+
+    table = glonass_ca_code_table()
+    return SignalPlan(
+        name="1G",
+        system="R",
+        band="G1",
+        num_channels=num_channels,
+        code_table=table,
+        table_rate_cps=GLO.CODE_RATE_CPS,
+        carrier_freq_hz=GLO.FREQ_HZ,
+        code_period_s=GLO.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=GLO.CODE_LENGTH_CHIPS,
+            code_rate_cps=GLO.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=GLO.CODE_LENGTH_CHIPS,
+            code_rate_cps=GLO.CODE_RATE_CPS,
+            carrier_freq_hz=GLO.FREQ_HZ,
+            fdma=True,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=GLO.CODES_PER_SYMBOL,
+            codes_per_bit=GLO.CODES_PER_SYMBOL,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=GnavDecoder,
+        search_prns=search_prns,
+        freq_offset_table=slot_freq_offsets_hz(),
+    )
+
+
+def qzss_l1_ca_plan(
+    fs: float,
+    num_channels: int = 4,
+    doppler_max_hz: float = 5000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 35.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 7.5,
+    dll_bw_narrow_hz: float = 0.75,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    extend_correlation_symbols: int = 20,
+    search_prns: tuple = tuple(range(193, 203)),
+) -> SignalPlan:
+    """QZSS L1 C/A (reference adapters QZSS_L1_PCPS_Acquisition /
+    QZSS_L1_DLL_PLL_Tracking; codes qzss_signal_replica.cc). QZSS L1 C/A
+    is GPS-interoperable: same chip rate, LNAV-compatible message — the
+    GPS plan with the QZSS PRN rows (193..202)."""
+    from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code
+
+    table = np.stack(
+        [gps_l1_ca_code(p) for p in range(193, 203)]
+    ).astype(np.float32)
+    base = gps_l1ca_plan(
+        fs=fs, num_channels=num_channels, doppler_max_hz=doppler_max_hz,
+        doppler_step_hz=doppler_step_hz, acq_dwells=acq_dwells,
+        acq_pfa=acq_pfa, pll_bw_hz=pll_bw_hz, dll_bw_hz=dll_bw_hz,
+        pll_bw_narrow_hz=pll_bw_narrow_hz,
+        dll_bw_narrow_hz=dll_bw_narrow_hz,
+        enable_fll_pull_in=enable_fll_pull_in, fll_bw_hz=fll_bw_hz,
+        pull_in_time_s=pull_in_time_s,
+        extend_correlation_symbols=extend_correlation_symbols,
+        search_prns=search_prns,
+    )
+    base.name = "J1"
+    base.system = "J"
+    base.code_table = table
+    base.prn_row = lambda prn: prn - 193
+    return base
+
+
+def sbas_l1_plan(
+    fs: float,
+    num_channels: int = 2,
+    doppler_max_hz: float = 5000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 30.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 7.5,
+    dll_bw_narrow_hz: float = 0.75,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    search_prns: tuple = tuple(range(120, 139)),
+) -> SignalPlan:
+    """SBAS L1 (reference adapters SBAS_L1_..._Telemetry_Decoder;
+    sbas_l1_telemetry_decoder_gs.cc): C/A-family codes PRN 120-138, 500
+    sps symbols = 2 code periods, 250 bps FEC-coded messages. GEO
+    satellites are near-zero Doppler; the telemetry events carry
+    integrity/correction messages, not PVT ephemerides."""
+    from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code
+    from gnss_sdr_tpu.constants import gps_l1_ca as GPS
+    from gnss_sdr_tpu.telemetry.sbas import SbasDecoder
+
+    table = np.stack(
+        [gps_l1_ca_code(p) for p in range(120, 139)]
+    ).astype(np.float32)
+    return SignalPlan(
+        name="1S",
+        system="S",
+        band="L1",
+        num_channels=num_channels,
+        code_table=table,
+        table_rate_cps=GPS.CODE_RATE_CPS,
+        carrier_freq_hz=GPS.FREQ_HZ,
+        code_period_s=GPS.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=GPS.CODE_LENGTH_CHIPS,
+            code_rate_cps=GPS.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            # symbols flip every 2 ms: keep one clean period per FFT
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=GPS.CODE_LENGTH_CHIPS,
+            code_rate_cps=GPS.CODE_RATE_CPS,
+            carrier_freq_hz=GPS.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=2,    # one 2 ms symbol
+            codes_per_bit=2,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=SbasDecoder,
+        search_prns=search_prns,
+        prn_row=lambda prn: prn - 120,
+    )

@@ -92,7 +92,8 @@ class SignalGroup:
         acq_table = (plan.acq_code_table if plan.acq_code_table is not None
                      else plan.code_table)
         self.acq = PcpsAcquisition(
-            plan.acq_conf, acq_table, list(plan.search_prns), mesh=mesh
+            plan.acq_conf, acq_table, list(plan.search_prns), mesh=mesh,
+            freq_offset_table=plan.freq_offset_table,
         )
         self.tracker = Tracker(
             plan.trk_conf, plan.code_table,
@@ -263,19 +264,34 @@ class Receiver:
 
         order = np.argsort(-res.test_statistic)
         started = {}
+        seen_offsets: set[float] = set()
         for idx in order:
             if not res.detected[idx]:
                 continue
             prn = prns[idx]
+            if plan.freq_offset_table is not None:
+                # FDMA: antipodal slots share code AND carrier — one
+                # detection per frequency channel; the GNAV slot number
+                # re-keys the channel if the twin guess was wrong
+                # (_handle_block)
+                off_k = plan.carrier_offset_hz(prn)
+                if off_k in seen_offsets or any(
+                    plan.carrier_offset_hz(p) == off_k
+                    for p in g.channel_prn if p
+                ):
+                    continue
+                seen_offsets.add(off_k)
             ch = g.idle_channel()
             if ch is None:
                 break
+            fdma_off = plan.carrier_offset_hz(prn)
             g.tracker.start_channel(
                 ch, prn, plan.prn_row(prn),
                 acq_delay_samples=float(res.delay_samples[idx]),
                 acq_doppler_hz=float(res.doppler_hz[idx]),
                 acq_samplestamp=start,
                 current_abs_sample=start,
+                carrier_offset_hz=fdma_off,
             )
             g.channel_prn[ch] = prn
             g.decoders[prn] = plan.make_decoder(prn)
@@ -287,8 +303,9 @@ class Receiver:
             )
             self.obs.configure_channel(
                 g.offset + ch, plan.code_period_s, plan.table_rate_cps,
-                plan.carrier_freq_hz, plan.system,
+                plan.carrier_freq_hz + fdma_off, plan.system,
                 fs=plan.fs, signal=plan.name,
+                carrier_offset_hz=fdma_off,
             )
             started[(plan.system, prn)] = (
                 float(res.doppler_hz[idx]), float(res.delay_samples[idx])
@@ -428,6 +445,28 @@ class Receiver:
             ) else g.decoders[prn].push_bits(signs, stamps)
             for ev in events:
                 self.status.subframes += 1
+                # FDMA slot identity: antipodal satellites share the
+                # frequency channel; the decoded GNAV slot number (string
+                # 4 'n') is the authority (reference
+                # flag_update_slot_number). Re-key the channel if the
+                # acquisition-time guess picked the twin.
+                true_prn = prn
+                if plan.system == "R" and ev.get("ephemeris_complete"):
+                    true_prn = getattr(
+                        g.decoders[prn].eph, "slot", prn) or prn
+                if true_prn != prn:
+                    if true_prn in g.channel_prn:
+                        log.info("R%02d: twin slot already tracked, "
+                                 "dropping channel %d", true_prn, ch)
+                        g.tracker.stop_channel(ch)
+                        self.obs.deanchor_keep_signal(gch)
+                        del g.decoders[prn]
+                        break
+                    log.info("R%02d -> R%02d: GNAV slot re-key", prn,
+                             true_prn)
+                    g.decoders[true_prn] = g.decoders.pop(prn)
+                    g.channel_prn[ch] = true_prn
+                    prn = true_prn
                 rem = rem_map.get(int(ev["sample_stamp"]), 0.0)
                 self.obs.anchor(
                     gch, prn, ev["tow_s"], ev["sample_stamp"],

@@ -208,10 +208,13 @@ def _encode_part(part_bits: np.ndarray) -> np.ndarray:
     return np.concatenate([PREAMBLE, inter]).astype(np.int8)
 
 
-def build_page(word: np.ndarray) -> np.ndarray:
+def build_page(word: np.ndarray,
+               osnma40: np.ndarray | None = None) -> np.ndarray:
     """One 128-bit word -> 500 symbols (even + odd part, CRC appended).
 
-    OSNMA/SAR/SSP fields are zero-filled (not simulated).
+    ``osnma40``: the odd part's 40-bit OSNMA field (8 HKROOT + 32 MACK
+    bits per page, OSNMA ICD §3.1); zero-filled when absent. SAR/SSP stay
+    zero-filled.
     """
     even = np.zeros(120, dtype=np.uint8)
     odd = np.zeros(120, dtype=np.uint8)
@@ -221,6 +224,8 @@ def build_page(word: np.ndarray) -> np.ndarray:
     odd[0] = 1
     odd[1] = 0
     odd[2:18] = word[112:128]
+    if osnma40 is not None:
+        odd[18:58] = np.asarray(osnma40, dtype=np.uint8)
     # CRC over even[0:114] + odd[0:82] (through the spare field)
     crc_bits = np.concatenate([even[:114], odd[:82]])
     crc = crc24q(crc_bits)
@@ -247,6 +252,9 @@ class InavDecoder:
         self._even_bits: np.ndarray | None = None
         self.pages_ok = 0
         self.pages_bad = 0
+        # per-page OSNMA fields (odd part bits 18..58) for the OSNMA
+        # engine: (page_end_stamp, 40 bits) per CRC-clean page
+        self.osnma_fields: list[tuple[int, np.ndarray]] = []
 
     def push_symbols(self, signs: np.ndarray, stamps: np.ndarray) -> list[dict]:
         """signs: prompt-correlation signs (+-1) at 250 sym/s; stamps:
@@ -311,6 +319,10 @@ class InavDecoder:
                 self.pages_bad += 1
                 continue
             self.pages_ok += 1
+            self.osnma_fields.append(
+                (part_end_stamp, odd[18:58].astype(np.uint8)))
+            if len(self.osnma_fields) > 1024:      # ~34 min of pages
+                del self.osnma_fields[:-512]
             word = np.concatenate([even[2:114], odd[2:18]])
             ev = parse_word(word, self.eph, self.iono)
             if "tow_s" in ev:
@@ -336,10 +348,13 @@ class InavEncoder:
     SCHEDULE = (2, 4, 5, 1, 3)   # WT5 early so TOW/WN resolve fast
 
     def __init__(self, eph: GalileoEphemeris, iono: GalileoIono | None = None,
-                 tow0_s: float = 0.0) -> None:
+                 tow0_s: float = 0.0, osnma_page_bits=None) -> None:
+        """``osnma_page_bits``: optional callable page_index -> 40-bit
+        OSNMA field (8 HKROOT + 32 MACK bits) riding each odd part."""
         self.eph = eph
         self.iono = iono or GalileoIono()
         self.tow0 = tow0_s
+        self.osnma_page_bits = osnma_page_bits
 
     def _word_bits(self, wt: int, tow_s: float) -> np.ndarray:
         w = np.zeros(128, dtype=np.uint8)
@@ -396,5 +411,7 @@ class InavEncoder:
         for k in range(start_page, start_page + num_pages):
             wt = self.SCHEDULE[k % len(self.SCHEDULE)]
             tow = self.tow0 + PAGE_SECONDS * k
-            out.append(build_page(self._word_bits(wt, tow)))
+            osnma = (self.osnma_page_bits(k)
+                     if self.osnma_page_bits is not None else None)
+            out.append(build_page(self._word_bits(wt, tow), osnma))
         return np.concatenate(out)

@@ -69,6 +69,13 @@ class DllPllConf:
     # histogram votes needed to declare bit sync (per-period prompt signs
     # are near-error-free above ~35 dB-Hz, so few clean votes suffice)
     bit_sync_transitions: int = 8
+    # earliest time bit-sync may ENGAGE extended integration: switching to
+    # T-long loop updates narrows the Costas pull range to +-1/(4T) Hz, so
+    # the 1-ms loop must first shrink the residual well inside that.
+    # Signals whose bits are short relative to the loop transient (GLONASS
+    # meander: transitions every 10-20 ms, sync fires in ~0.1 s) need this
+    # guard; GPS's 20 ms histogram takes seconds anyway.
+    bit_sync_delay_s: float = 0.5
 
     # Lock detection (reference cn0_* / max_*_lock_fail knobs)
     cn0_estimation_blocks: int = 20

@@ -396,7 +396,9 @@ class Tracker:
             events.append("bit_sync")
 
         if (not conf.track_pilot and ctl.phase == ChannelPhase.WIDE
-                and conf.extend_correlation_symbols > 1):
+                and conf.extend_correlation_symbols > 1
+                and ctl.total_periods * conf.code_period_s
+                > conf.pull_in_time_s + conf.bit_sync_delay_s):
             for s_i in range(len(signs)):
                 period = first_period + s_i
                 if ctl.last_sign != 0.0 and signs[s_i] != ctl.last_sign:

@@ -18,6 +18,8 @@
 #include "gps_l2c_signal_replica.h"
 #include "gps_l5_signal_replica.h"
 #include "galileo_e5_signal_replica.h"
+#include "glonass_l1_signal_replica.h"
+#include "qzss_signal_replica.h"
 
 // tiny dependency of galileo_e5_signal_replica (declared in
 // gnss_signal_replica.h whose .cc pulls in GNU Radio): hex digit -> four
@@ -102,6 +104,29 @@ int main(int argc, char **argv)
                 own::span<std::complex<float>>(chips.data(), chips.size()), prn, sig);
             for (auto c : chips)
                 std::printf("%d %d\n", static_cast<int>(c.real()), static_cast<int>(c.imag()));
+        }
+    else if (!std::strcmp(fam, "qzssl1"))
+        {
+            std::vector<float> chips(1023);
+            qzss_l1_code_gen_float(own::span<float>(chips.data(), chips.size()), prn);
+            for (auto c : chips) std::printf("%d\n", static_cast<int>(c));
+        }
+    else if (!std::strcmp(fam, "qzssl5i") || !std::strcmp(fam, "qzssl5q"))
+        {
+            std::vector<float> chips(10230);
+            if (!std::strcmp(fam, "qzssl5i"))
+                qzss_l5i_code_gen_float(own::span<float>(chips.data(), chips.size()), prn);
+            else
+                qzss_l5q_code_gen_float(own::span<float>(chips.data(), chips.size()), prn);
+            for (auto c : chips) std::printf("%d\n", static_cast<int>(c));
+        }
+    else if (!std::strcmp(fam, "gloca"))
+        {
+            // one shared m-sequence for all satellites (FDMA); prn ignored
+            std::vector<std::complex<float>> chips(511);
+            glonass_l1_ca_code_gen_complex(
+                own::span<std::complex<float>>(chips.data(), chips.size()), 0);
+            for (auto c : chips) std::printf("%d\n", static_cast<int>(c.real()));
         }
     else
         {

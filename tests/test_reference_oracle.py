@@ -33,9 +33,18 @@ def oracle(tmp_path_factory):
         "#pragma once\n#include <complex>\n"
         "typedef std::complex<float> gr_complex;\n"
     )
+    glog_shim = build / "shim" / "glog"
+    glog_shim.mkdir(parents=True)
+    (glog_shim / "logging.h").write_text(
+        "#pragma once\n"
+        "struct OracleNullLog { template <class T>"
+        " OracleNullLog& operator<<(const T&) { return *this; } };\n"
+        "#define LOG(severity) OracleNullLog()\n"
+    )
     exe = build / "oracle_codes"
     subprocess.run(
         ["g++", "-std=c++20", "-O2", "-DHAS_STD_SPAN=1",
+         "-DUSE_GLOG_AND_GFLAGS=1",
          "-I", str(REF), "-I", str(SP), "-I", str(build / "shim"),
          "-o", str(exe), str(SRC),
          str(REF / "beidou_b1i_signal_replica.cc"),
@@ -43,7 +52,9 @@ def oracle(tmp_path_factory):
          str(REF / "gps_sdr_signal_replica.cc"),
          str(REF / "gps_l2c_signal_replica.cc"),
          str(REF / "gps_l5_signal_replica.cc"),
-         str(REF / "galileo_e5_signal_replica.cc")],
+         str(REF / "galileo_e5_signal_replica.cc"),
+         str(REF / "glonass_l1_signal_replica.cc"),
+         str(REF / "qzss_signal_replica.cc")],
         check=True, capture_output=True,
     )
 
@@ -141,3 +152,44 @@ def test_beidou_b3i_codes_match_reference(oracle):
         ours = beidou_b3i_code(prn)
         ref = oracle("b3i", prn)
         assert np.array_equal(ours, ref), f"B3I PRN {prn} mismatch"
+
+
+def test_glonass_ca_code_matches_reference(oracle):
+    from gnss_sdr_tpu.codes.glonass_ca import glonass_ca_code
+
+    ours = glonass_ca_code()
+    ref = oracle("gloca", 0)
+    assert np.array_equal(ours, ref), "GLONASS C/A m-sequence mismatch"
+
+
+def test_qzss_l1_codes_match_reference(oracle):
+    from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code
+
+    for prn in (193, 197, 202):
+        ours = gps_l1_ca_code(prn)
+        ref = oracle("qzssl1", prn)
+        # binary->level mapping differs globally (our bit1 -> -1)
+        assert (np.array_equal(ours, ref)
+                or np.array_equal(ours, -ref)), f"QZSS L1 PRN {prn}"
+
+
+def test_sbas_l1_codes_match_reference(oracle):
+    from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code
+
+    for prn in (120, 127, 138):
+        ours = gps_l1_ca_code(prn)
+        ref = oracle("gpsca", prn)
+        assert (np.array_equal(ours, ref)
+                or np.array_equal(ours, -ref)), f"SBAS PRN {prn}"
+
+
+def test_qzss_l5_codes_match_reference(oracle):
+    from gnss_sdr_tpu.codes.gps_l5 import qzss_l5i_code, qzss_l5q_code
+
+    for prn in (193, 199):
+        for fam, gen in (("qzssl5i", qzss_l5i_code),
+                         ("qzssl5q", qzss_l5q_code)):
+            ours = gen(prn)
+            ref = oracle(fam, prn)
+            assert (np.array_equal(ours, ref)
+                    or np.array_equal(ours, -ref)), f"{fam} PRN {prn}"
