@@ -127,7 +127,11 @@ def e2e_bench() -> tuple[float, float]:
         max_sats=6, seed=1,
     ))
     chunks = [scen.generate(i * int(fs), int(fs)) for i in range(dur)]
-    rx = Receiver(ReceiverConfig(fs=fs, num_channels=6))
+    # 500 ms tracking blocks: the remote-TPU link is round-trip bound
+    # (~60-200 ms per synchronization), so a handful of large device calls
+    # per signal-second dominates e2e throughput (plans steps_per_block)
+    rx = Receiver(ReceiverConfig(fs=fs, num_channels=6,
+                                 steps_per_block=500))
     # warmup second: compile acquisition + tracking programs
     rx.feed(chunks[0])
     rx.acquire()

@@ -64,6 +64,11 @@ def _sign_extend_2bit(b: np.ndarray) -> np.ndarray:
     Matches the reference's ``signed two_bit_sample : 2`` bitfield extraction
     (unpack_byte_2bit_samples.cc work()).
     """
+    from gnss_sdr_tpu import native
+
+    nat = native.unpack_2bit(b)
+    if nat is not None:
+        return nat
     b = b.astype(np.uint8)
     out = np.empty((b.size, 4), dtype=np.int8)
     for k in range(4):
@@ -75,6 +80,11 @@ def _sign_extend_2bit(b: np.ndarray) -> np.ndarray:
 def _sign_extend_4bit(b: np.ndarray) -> np.ndarray:
     """Unpack 2x 4-bit two's-complement fields per byte, LSB-first
     (unpack_byte_4bit_samples.cc)."""
+    from gnss_sdr_tpu import native
+
+    nat = native.unpack_4bit(b)
+    if nat is not None:
+        return nat
     b = b.astype(np.uint8)
     out = np.empty((b.size, 2), dtype=np.int8)
     for k in range(2):

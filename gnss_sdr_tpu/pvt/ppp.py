@@ -1,0 +1,179 @@
+"""Precise Point Positioning (float, dual-frequency iono-free).
+
+Reference analog: src/algorithms/libs/rtklib/rtklib_ppp.cc (pppos(): EKF
+over position, receiver clock, zenith troposphere delay and float
+iono-free carrier ambiguities). Scope matches the reference's PPP-float
+mode (no integer PPP-AR, no precise-product file readers — orbit/clock
+quality is whatever the supplied ephemerides give; the filter structure
+and observation model are the point).
+
+Observables per satellite: dual-frequency pseudorange + carrier phase,
+combined iono-free:
+
+    P_IF = (f1^2 P1 - f2^2 P2) / (f1^2 - f2^2)
+    L_IF = (f1^2 l1 Phi1 - f2^2 l2 Phi2) / (f1^2 - f2^2)   [meters]
+
+    P_IF = rho + c dt_r + m(el) ZTD + e
+    L_IF = rho + c dt_r + m(el) ZTD + B_IF + e'
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from gnss_sdr_tpu.pvt.coords import az_el, ecef_to_llh
+from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT, OMEGA_E, eph_to_pos_vel_clock
+
+
+@dataclass
+class DualFreqObs:
+    system: str
+    prn: int
+    p1_m: float                   # pseudorange at f1
+    p2_m: float                   # pseudorange at f2
+    phi1_cycles: float            # carrier phase at f1 (~ -range/lambda1)
+    phi2_cycles: float
+    f1_hz: float
+    f2_hz: float
+    cn0_dbhz: float = 45.0
+
+
+@dataclass
+class PppSolution:
+    valid: bool = False
+    pos_ecef: np.ndarray | None = None
+    clock_m: float = 0.0
+    ztd_m: float = 0.0
+    num_sats: int = 0
+
+
+def _mapping(el: float) -> float:
+    """Simple 1/sin(el) wet mapping (rtklib uses NMF; equivalent role)."""
+    return 1.0 / max(np.sin(el), 0.05)
+
+
+class PppEngine:
+    """Static/kinematic float PPP filter (rtklib_ppp.cc pppos analog)."""
+
+    def __init__(self, mode: str = "static",
+                 code_sigma_m: float = 1.0, phase_sigma_m: float = 0.01,
+                 pos_q_m: float = 20.0) -> None:
+        self.mode = mode
+        self.code_sigma = code_sigma_m
+        self.phase_sigma = phase_sigma_m
+        self.pos_q = pos_q_m
+        self.x: np.ndarray | None = None     # [x y z clk ztd B_1..B_n]
+        self.P: np.ndarray | None = None
+        self.amb_index: dict[tuple[str, int], int] = {}
+        self.t_last: float | None = None
+
+    def _init(self, x0: np.ndarray) -> None:
+        self.x = np.zeros(5)
+        self.x[:3] = x0
+        self.P = np.diag([1e6] * 3 + [1e8, 0.25])
+
+    def _ensure(self, keys, b_init):
+        for key in keys:
+            if key not in self.amb_index:
+                n = len(self.x)
+                self.amb_index[key] = n
+                self.x = np.append(self.x, b_init.get(key, 0.0))
+                P = np.zeros((n + 1, n + 1))
+                P[:n, :n] = self.P
+                P[n, n] = 1e4
+                self.P = P
+        live = set(keys)
+        for key in [k for k in self.amb_index if k not in live]:
+            i = self.amb_index.pop(key)
+            keep = [j for j in range(len(self.x)) if j != i]
+            self.x = self.x[keep]
+            self.P = self.P[np.ix_(keep, keep)]
+            for k2, j in self.amb_index.items():
+                if j > i:
+                    self.amb_index[k2] = j - 1
+
+    def process_epoch(self, t: float, obs: list[DualFreqObs],
+                      ephemerides: dict,
+                      x0: np.ndarray | None = None) -> PppSolution:
+        usable = [o for o in obs if (o.system, o.prn) in ephemerides]
+        if len(usable) < 4:
+            return PppSolution()
+        if self.x is None:
+            self._init(np.zeros(3) if x0 is None else np.asarray(x0))
+
+        # iono-free combinations + satellite geometry
+        rows = []
+        for o in usable:
+            g1 = o.f1_hz ** 2
+            g2 = o.f2_hz ** 2
+            a1 = g1 / (g1 - g2)
+            a2 = -g2 / (g1 - g2)
+            lam1 = C_LIGHT / o.f1_hz
+            lam2 = C_LIGHT / o.f2_hz
+            p_if = a1 * o.p1_m + a2 * o.p2_m
+            # phase convention: phi ~ -range/lambda (+N); convert to a
+            # range-like quantity -lambda*phi
+            l_if = a1 * (-lam1 * o.phi1_cycles) + a2 * (-lam2 * o.phi2_cycles)
+            tau = p_if / C_LIGHT
+            p, _, dts, _ = eph_to_pos_vel_clock(
+                ephemerides[(o.system, o.prn)], t - tau)
+            th = OMEGA_E * tau
+            rot = np.array([[np.cos(th), np.sin(th), 0.0],
+                            [-np.sin(th), np.cos(th), 0.0],
+                            [0.0, 0.0, 1.0]])
+            rows.append((o, p_if + C_LIGHT * dts, l_if + C_LIGHT * dts,
+                         rot @ p))
+
+        keys = [(o.system, o.prn) for o, *_ in rows]
+        b_init = {
+            (o.system, o.prn): l_if - p_if
+            for o, p_if, l_if, _ in rows
+        }
+        self._ensure(keys, b_init)
+        n = len(self.x)
+
+        # time update
+        if self.t_last is not None:
+            dt = max(t - self.t_last, 0.0)
+            if self.mode == "kinematic":
+                self.P[:3, :3] += np.eye(3) * self.pos_q ** 2 * dt
+            self.P[3, 3] += 1e6 * dt          # clock ~ white
+            self.P[4, 4] += 1e-8 * dt         # ZTD random walk (3e-4 m/sqrt h)
+        self.t_last = t
+
+        H, v, r = [], [], []
+        lat, lon, _ = ecef_to_llh(self.x[:3])
+        for o, p_if, l_if, sat in rows:
+            rho = float(np.linalg.norm(sat - self.x[:3]))
+            e = (sat - self.x[:3]) / rho
+            _, el = az_el(self.x[:3], sat) if np.linalg.norm(
+                self.x[:3]) > 1e6 else (0.0, np.pi / 2)
+            m = _mapping(el)
+            pred_p = rho + self.x[3] + m * self.x[4]
+            row = np.zeros(n)
+            row[:3] = -e
+            row[3] = 1.0
+            row[4] = m
+            H.append(row.copy())
+            v.append(p_if - pred_p)
+            r.append(self.code_sigma ** 2)
+            bi = self.amb_index[(o.system, o.prn)]
+            row2 = row.copy()
+            row2[bi] = 1.0
+            H.append(row2)
+            v.append(l_if - (pred_p + self.x[bi]))
+            r.append(self.phase_sigma ** 2)
+        H = np.asarray(H)
+        v = np.asarray(v)
+        R = np.diag(r)
+        S = H @ self.P @ H.T + R
+        K = self.P @ H.T @ np.linalg.inv(S)
+        self.x = self.x + K @ v
+        self.P = (np.eye(n) - K @ H) @ self.P
+        return PppSolution(
+            valid=True, pos_ecef=self.x[:3].copy(),
+            clock_m=float(self.x[3]), ztd_m=float(self.x[4]),
+            num_sats=len(rows),
+        )

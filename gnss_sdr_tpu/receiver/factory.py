@@ -350,8 +350,8 @@ def get_channel_counts(cfg: ConfigurationInterface) -> dict[str, int]:
     """Per-signal channel counts (Channels_1C.count etc.,
     gnss_block_factory.cc GetChannels grouping)."""
     out = {}
-    for sig in ("1C", "1B", "2S", "L5", "5X", "7X", "1G", "2G", "B1", "B3",
-                "J1", "J5", "SBAS"):
+    for sig in ("1C", "1B", "2S", "L5", "5X", "7X", "E6", "1G", "2G",
+                "B1", "B3", "J1", "J5", "SBAS"):
         n = cfg.property(f"Channels_{sig}.count", 0)
         if n:
             out[sig] = n
@@ -422,6 +422,17 @@ _PLAN_TABLE = {
         {"SBAS_L1_DLL_PLL_Tracking", "GPS_L1_CA_DLL_PLL_Tracking"},
         "sbas_l1_plan",
     ),
+    "E6": (
+        {"Galileo_E6_PCPS_Acquisition"},
+        {"Galileo_E6_DLL_PLL_Tracking"},
+        "galileo_e6b_plan",
+    ),
+    "2G": (
+        {"GLONASS_L2_CA_PCPS_Acquisition"},
+        {"GLONASS_L2_CA_DLL_PLL_Tracking",
+         "GLONASS_L2_CA_DLL_PLL_C_Aid_Tracking"},
+        "glonass_l2_ca_plan",
+    ),
 }
 
 _DEFAULT_IMPLS = {
@@ -438,6 +449,9 @@ _DEFAULT_IMPLS = {
            "GLONASS_L1_CA_DLL_PLL_Tracking"),
     "J1": ("QZSS_L1_PCPS_Acquisition", "QZSS_L1_CA_DLL_PLL_Tracking"),
     "SBAS": ("SBAS_L1_PCPS_Acquisition", "SBAS_L1_DLL_PLL_Tracking"),
+    "E6": ("Galileo_E6_PCPS_Acquisition", "Galileo_E6_DLL_PLL_Tracking"),
+    "2G": ("GLONASS_L2_CA_PCPS_Acquisition",
+           "GLONASS_L2_CA_DLL_PLL_Tracking"),
 }
 
 
@@ -482,10 +496,12 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
     if sig == "1B":
         opt("early_late_space_chips",
             f"Tracking_{sig}.early_late_space_chips", 0.0)
-    elif sig in ("1G", "SBAS"):
+    elif sig in ("1G", "2G", "SBAS"):
         # integration length is fixed by the symbol structure (GNAV 10 ms
         # meander chip; SBAS 2 ms symbol)
         opt("acq_dwells", f"Acquisition_{sig}.max_dwells", 0)
+    elif sig == "E6":
+        pass  # 1 ms CNAV symbols: single-dwell, symbol-rate integration
     else:
         opt("acq_dwells", f"Acquisition_{sig}.max_dwells", 0)
         opt("extend_correlation_symbols",
@@ -511,7 +527,8 @@ def get_signal_plans(cfg: ConfigurationInterface,
     for sig, n in counts.items():
         band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5",
                 "B1": "B1", "7X": "E5b", "2S": "L2", "B3": "B3",
-                "1G": "G1", "J1": "L1", "SBAS": "L1"}.get(sig, "L1")
+                "1G": "G1", "J1": "L1", "SBAS": "L1", "E6": "E6",
+                "2G": "G2"}.get(sig, "L1")
         if isinstance(fs_by_band, dict):
             if band not in fs_by_band:
                 raise ValueError(

@@ -91,9 +91,14 @@ def gps_l1ca_plan(
     pull_in_time_s: float = 0.25,
     extend_correlation_symbols: int = 20,
     search_prns: tuple = tuple(range(1, 33)),
+    steps_per_block: int = 20,
 ) -> SignalPlan:
     """GPS L1 C/A (reference adapters GPS_L1_CA_PCPS_Acquisition /
-    GPS_L1_CA_DLL_PLL_Tracking / GPS_L1_CA_Telemetry_Decoder)."""
+    GPS_L1_CA_DLL_PLL_Tracking / GPS_L1_CA_Telemetry_Decoder).
+
+    ``steps_per_block``: code periods per device call — remote TPU links
+    are round-trip-bound, so larger blocks trade control-loop reaction
+    latency for throughput."""
     return SignalPlan(
         name="1C",
         system="G",
@@ -126,6 +131,7 @@ def gps_l1ca_plan(
             extend_correlation_symbols=extend_correlation_symbols,
             codes_per_bit=GPS.CODES_PER_BIT,
             max_channels=num_channels,
+            steps_per_block=steps_per_block,
         ),
         make_decoder=LnavDecoder,
         search_prns=search_prns,
@@ -898,3 +904,101 @@ def sbas_l1_plan(
         search_prns=search_prns,
         prn_row=lambda prn: prn - 120,
     )
+
+
+def galileo_e6b_plan(
+    fs: float,
+    num_channels: int = 4,
+    doppler_max_hz: float = 5000.0,
+    doppler_step_hz: float = 250.0,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 20.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 7.5,
+    dll_bw_narrow_hz: float = 0.75,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    search_prns: tuple = tuple(range(1, 37)),
+) -> SignalPlan:
+    """Galileo E6-B data channel (HAS/CNAV; reference adapters
+    Galileo_E6_PCPS_Acquisition / Galileo_E6_DLL_PLL_Tracking /
+    Galileo_E6_Telemetry_Decoder). BPSK(5) at 5.115 Mcps, one 1 ms code
+    period per 1000 sps CNAV symbol — symbol-rate handling like E1-B
+    (extend_correlation_symbols=1, timer-based narrow switch)."""
+    from gnss_sdr_tpu.codes.galileo_e6 import galileo_e6b_code_table
+    from gnss_sdr_tpu.constants import galileo_e6 as E6
+    from gnss_sdr_tpu.telemetry.hascnav import CnavStreamDecoder
+
+    return SignalPlan(
+        name="E6",
+        system="E",
+        band="E6",
+        num_channels=num_channels,
+        code_table=galileo_e6b_code_table(),
+        table_rate_cps=E6.CODE_RATE_CPS,
+        carrier_freq_hz=E6.FREQ_HZ,
+        code_period_s=E6.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=E6.CODE_LENGTH_CHIPS,
+            code_rate_cps=E6.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=1,
+            # CNAV symbols flip every period
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=E6.CODE_LENGTH_CHIPS,
+            code_rate_cps=E6.CODE_RATE_CPS,
+            carrier_freq_hz=E6.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=1,
+            codes_per_bit=1,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=CnavStreamDecoder,
+        search_prns=search_prns,
+    )
+
+
+def glonass_l2_ca_plan(
+    fs: float,
+    num_channels: int = 6,
+    doppler_max_hz: float = 4000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    search_prns: tuple = tuple(range(1, 25)),
+    **loop_kwargs,
+) -> SignalPlan:
+    """GLONASS L2 C/A (reference GLONASS_L2_CA_* adapters): identical code
+    and GNAV message as L1, at 1246 MHz + k * 437.5 kHz."""
+    plan = glonass_l1_ca_plan(
+        fs=fs, num_channels=num_channels, doppler_max_hz=doppler_max_hz,
+        doppler_step_hz=doppler_step_hz, acq_dwells=acq_dwells,
+        acq_pfa=acq_pfa, search_prns=search_prns, **loop_kwargs,
+    )
+    from gnss_sdr_tpu.constants.glonass_l1 import SLOT_TO_K
+
+    plan.name = "2G"
+    plan.band = "G2"
+    plan.carrier_freq_hz = 1.246e9
+    plan.freq_offset_table = np.array(
+        [SLOT_TO_K[s] * 437500.0 for s in range(1, 25)], dtype=np.float64
+    )
+    # rebuild the tracking conf with the L2 carrier (frozen dataclass)
+    from dataclasses import replace
+
+    plan.trk_conf = replace(plan.trk_conf, carrier_freq_hz=1.246e9)
+    return plan

@@ -72,6 +72,9 @@ class ReceiverConfig:
     # exceeds this (reference apply_rx_clock_offset, rtklib_pvt_gs.cc:1834);
     # <= 0 disables
     rx_clock_correction_s: float = 1e-3
+    # code periods per tracking device call (see gps_l1ca_plan): remote
+    # TPU links are round-trip-bound, so bigger blocks amortize latency
+    steps_per_block: int = 20
 
 
 @dataclass
@@ -148,6 +151,7 @@ class Receiver:
                 pull_in_time_s=cfg.pull_in_time_s,
                 extend_correlation_symbols=cfg.extend_correlation_symbols,
                 search_prns=cfg.search_prns,
+                steps_per_block=cfg.steps_per_block,
             )]
         self.mesh = None
         if cfg.num_devices > 0:
@@ -193,6 +197,20 @@ class Receiver:
         self._bufs = {b: np.zeros(0, dtype=np.complex64) for b in self.bands}
         self._buf_bases = {b: 0 for b in self.bands}
         self._stream_ends = {b: 0 for b in self.bands}
+        # device-resident rolling stream per band: chunks upload once, the
+        # tracker slices windows on device (io/device_stream.py). Sized to
+        # cover the largest window demand plus one ~1 s feed chunk.
+        from gnss_sdr_tpu.io.device_stream import DeviceStream
+
+        self._dev_streams = {}
+        for b in self.bands:
+            need = max(
+                (g.plan.trk_conf.window_samples for g in self.groups
+                 if g.plan.band == b), default=0,
+            )
+            self._dev_streams[b] = DeviceStream(
+                int(self._band_fs[b] * 1.3) + 2 * need
+            )
 
     # ------------------------------------------------- backward-compat props
     @property
@@ -223,6 +241,7 @@ class Receiver:
         chunk = np.asarray(chunk, dtype=np.complex64)
         self._bufs[b] = np.concatenate([self._bufs[b], chunk])
         self._stream_ends[b] += len(chunk)
+        self._dev_streams[b].append(chunk)
 
     def _slice(self, band: str, start: int, n: int) -> np.ndarray | None:
         if start < self._buf_bases[band] or start + n > self._stream_ends[band]:
@@ -285,12 +304,17 @@ class Receiver:
             if ch is None:
                 break
             fdma_off = plan.carrier_offset_hz(prn)
+            # pull-in begins at the first code boundary inside the device
+            # stream buffer (the acquisition window may have rolled out of
+            # the ring by now; start_channel projects the code phase
+            # forward by whole periods)
+            ds = self._dev_streams[plan.band]
             g.tracker.start_channel(
                 ch, prn, plan.prn_row(prn),
                 acq_delay_samples=float(res.delay_samples[idx]),
                 acq_doppler_hz=float(res.doppler_hz[idx]),
                 acq_samplestamp=start,
-                current_abs_sample=start,
+                current_abs_sample=max(start, ds.base),
                 carrier_offset_hz=fdma_off,
             )
             g.channel_prn[ch] = prn
@@ -322,11 +346,17 @@ class Receiver:
                 if not g.active_channels():
                     continue
                 base, w = g.tracker.window_request()
-                window = self._slice(g.plan.band, base, w)
-                if window is None:
-                    continue
+                ds = self._dev_streams[g.plan.band]
+                act = g.tracker.active_channels()
+                head = int(g.tracker.pos_abs[act].max())
+                conf = g.plan.trk_conf
+                if (head + conf.steps_per_block * conf.max_step_samples
+                        + conf.samples_per_code > ds.end):
+                    continue              # not enough stream fed yet
                 try:
-                    result = g.tracker.process(window, base)
+                    result = g.tracker.process_device(
+                        ds.window, ds.base, ds.end - ds.base
+                    )
                 except ValueError:
                     # one stalled channel must not kill the receiver: drop
                     # the laggard (flowgraph restarts it via reacquisition)

@@ -103,6 +103,14 @@ def viterbi_decode(
     sym = np.asarray(symbols, dtype=np.float64)
     if not soft:
         sym = 1.0 - 2.0 * sym   # bit 0 -> +1, bit 1 -> -1
+    # native C++ trellis when built (native/sdr_kernels.cpp viterbi27 —
+    # the libswiftcnav viterbi27.c analog); NumPy fallback below is
+    # bit-identical (tests/test_native.py)
+    from gnss_sdr_tpu import native as _native
+
+    nat = _native.viterbi27(sym, invert_g2, start_state, end_state)
+    if nat is not None:
+        return nat
     n = len(sym) // 2
     n_states = 64
 

@@ -103,6 +103,7 @@ class Tracker:
         self.state: TrackingState = jax.jit(lambda: init_state(conf))()
         c = conf.max_channels
         self.codes = np.zeros((c, code_table.shape[1]), dtype=np.float32)
+        self._codes_dev = None         # device cache of code/sec tables
         self.pos_abs = np.zeros(c, dtype=np.int64)    # absolute next sample
         self.ctl = [ChannelControl() for _ in range(c)]
         for ch in self.ctl:
@@ -201,9 +202,15 @@ class Tracker:
         carrier_offset_hz: float = 0.0,
     ) -> None:
         """Pull-in: align to the first code boundary at/after the stream head
-        (reference state 1, dll_pll_veml_tracking.cc:1949-1982)."""
+        (reference state 1, dll_pll_veml_tracking.cc:1949-1982).
+
+        The projection uses the Doppler-corrected code period: projecting
+        far ahead (e.g. to a device-stream buffer base) with the nominal
+        period accumulates code-Doppler slip (~4 samples per second at
+        5 kHz Doppler) and hands tracking a dead code phase."""
         conf = self.conf
-        period = conf.samples_per_code
+        fd0 = float(acq_doppler_hz)
+        period = conf.samples_per_code / (1.0 + fd0 / conf.carrier_freq_hz)
         boundary = acq_samplestamp + acq_delay_samples
         if boundary < current_abs_sample:
             k = int(np.ceil((current_abs_sample - boundary) / period))
@@ -214,6 +221,7 @@ class Tracker:
         rem0 = (start - boundary) * conf.code_rate_cps / conf.fs
 
         self.codes[ch] = self.code_table[code_row]
+        self._codes_dev = None         # code tables changed
         if conf.track_pilot:
             self.data_codes[ch] = self.data_code_table[code_row]
             self.sec_pilot[ch] = self.sec_pilot_table[code_row]
@@ -277,27 +285,55 @@ class Tracker:
 
     # --------------------------------------------------------------- process
     def process(self, window: np.ndarray, abs_base: int) -> BlockResult:
-        """Advance all active channels one block through the given window."""
+        """Advance all active channels one block through the given host
+        window (uploads it; prefer process_device for streaming use)."""
+        return self._process(
+            jnp.asarray(host_to_ri(np.asarray(window, np.complex64))),
+            abs_base, len(window),
+        )
+
+    def process_device(self, window_ri, abs_base: int,
+                       window_len: int) -> BlockResult:
+        """Advance one block against a device-resident sample buffer
+        (f32 [L, 2] re/im lanes). The buffer stays on device between
+        blocks — the receiver uploads each chunk once instead of
+        re-uploading overlapping windows (the dominant cost on a remote
+        TPU link)."""
+        return self._process(window_ri, abs_base, window_len)
+
+    def _process(self, window_ri, abs_base: int,
+                 window_len: int) -> BlockResult:
         conf = self.conf
         act = self.active_channels()
         rel = self.pos_abs - abs_base
         if act:
+            if int(rel[act].min()) < 0:
+                raise ValueError(
+                    "window too short: channel behind the buffer base "
+                    f"(rel {int(rel[act].min())})"
+                )
             spread = int(rel[act].max())
             need = spread + conf.steps_per_block * conf.max_step_samples
-            if need > len(window):
+            if need > window_len:
                 raise ValueError(
-                    f"window too short: need {need}, got {len(window)} "
+                    f"window too short: need {need}, got {window_len} "
                     f"(channel spread {spread})"
                 )
         st = self.state._replace(
             pos=jnp.asarray(np.maximum(rel, 0).astype(np.int32))
         )
+        # per-channel code/secondary tables live on device, re-uploaded
+        # only when start_channel rewrites rows — on a remote TPU link
+        # every host->device transfer costs a round trip
+        if self._codes_dev is None:
+            self._codes_dev = (
+                jnp.asarray(self.codes),
+                jnp.asarray(self.data_codes) if conf.track_pilot else None,
+                jnp.asarray(self.sec_pilot) if conf.track_pilot else None,
+                jnp.asarray(self.sec_data) if conf.track_pilot else None,
+            )
         new_state, packed = self._track_packed(
-            st, jnp.asarray(host_to_ri(window)),
-            jnp.asarray(self.codes),
-            jnp.asarray(self.data_codes) if conf.track_pilot else None,
-            jnp.asarray(self.sec_pilot) if conf.track_pilot else None,
-            jnp.asarray(self.sec_data) if conf.track_pilot else None,
+            st, window_ri, *self._codes_dev
         )
         self.state = new_state
         flat = fetch(packed)
@@ -468,6 +504,7 @@ class Tracker:
         # flip together under a pi carrier rotation)
         self.sec_pilot[ch] = self.sec_pilot[ch] * polarity
         self.sec_data[ch] = self._sec_data_base * polarity
+        self._codes_dev = None         # secondary tables changed
         # secondary chip index of the NEXT period (device applies it at the
         # start of the next block, which begins at period ctl.total_periods)
         idx_next = (ctl.total_periods - p0 + k0) % sp

@@ -143,3 +143,31 @@ def test_pvt_kf_smooths_and_resets():
     # a 1 km jump (receiver restarted elsewhere) resets rather than drags
     p, v = kf.update(10.1, pos0 + 1000.0, None)
     assert np.linalg.norm(p - (pos0 + 1000.0)) < 1.0
+
+
+def test_front_end_cal_estimates_lo_offset():
+    """front-end-cal analog (utils/front-end-cal/main.cc): a deliberate LO
+    error shows up as a common Doppler offset across satellites and is
+    recovered by the calibration fit."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import numpy as np
+
+    from front_end_cal import calibrate
+    from gnss_sdr_tpu.simulate.scenario import GpsScenario, ScenarioConfig
+
+    fs = 2.6e6
+    scen = GpsScenario(ScenarioConfig(
+        fs=fs, tow_start_s=7314.0, duration_s=0.2, cn0_dbhz=46.0,
+        max_sats=8, seed=2,
+    ))
+    x = scen.generate(0, int(0.12 * fs))
+    lo_err = 3210.0                       # Hz of front-end LO error
+    t = np.arange(len(x)) / fs
+    x = (x * np.exp(2j * np.pi * lo_err * t)).astype(np.complex64)
+    out = calibrate(x, fs, scen.ephs, scen.rx_ecef, 7314.0)
+    assert out["ok"], out
+    assert abs(out["f_offset_hz"] - lo_err) < 60.0, out["f_offset_hz"]
+    assert out["resid_rms_hz"] < 60.0
