@@ -21,8 +21,6 @@ blocks through it (overlap-save).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -19,7 +19,7 @@ them). No tropo/iono gradient states (short-baseline assumption).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

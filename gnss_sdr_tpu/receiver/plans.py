@@ -1002,3 +1002,93 @@ def glonass_l2_ca_plan(
 
     plan.trk_conf = replace(plan.trk_conf, carrier_freq_hz=1.246e9)
     return plan
+
+
+def galileo_e1bc_plan(
+    fs: float,
+    num_channels: int = 8,
+    doppler_max_hz: float = 5000.0,
+    doppler_step_hz: float = 125.0,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 15.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 2.5,
+    dll_bw_narrow_hz: float = 0.35,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.5,
+    early_late_space_chips: float = 0.25,
+    extend_correlation_symbols: int = 5,
+    search_prns: tuple = tuple(range(1, 37)),
+) -> SignalPlan:
+    """Galileo E1 B+C with PILOT tracking (the reference's default E1
+    configuration: Galileo_E1_DLL_PLL_VEML_Tracking with track_pilot=true,
+    dll_pll_conf.h:81): VEML taps run on the E1-C pilot, the CS25
+    secondary is wiped on-device after host sync, the PLL goes
+    four-quadrant, and coherent integration extends past the 4 ms
+    data-symbol ceiling (default 20 ms; up to the 100 ms secondary epoch —
+    each T of coherent extension narrows the Costas pull range to
+    +-1/(4T), so very long T needs a correspondingly settled loop). A
+    separate prompt correlator on E1-B feeds the I/NAV decoder."""
+    from gnss_sdr_tpu.codes.galileo_e1 import (
+        e1c_secondary_chips,
+        galileo_e1b_sinboc_table,
+        galileo_e1c_sinboc_table,
+    )
+
+    pilot_table = galileo_e1c_sinboc_table()
+    data_table = galileo_e1b_sinboc_table()
+    cs25 = e1c_secondary_chips().astype(np.float32)
+    sec_pilot = np.tile(cs25, (pilot_table.shape[0], 1))
+    el_sub = 2.0 * early_late_space_chips
+    vel_sub = 2.0 * 0.6
+    extend = min(extend_correlation_symbols, 25)
+    return SignalPlan(
+        name="1B",
+        system="E",
+        num_channels=num_channels,
+        code_table=pilot_table,
+        table_rate_cps=SINBOC_TABLE_RATE_CPS,
+        carrier_freq_hz=GAL.FREQ_HZ,
+        code_period_s=GAL.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=SINBOC_TABLE_LENGTH,
+            code_rate_cps=SINBOC_TABLE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=1,
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=SINBOC_TABLE_LENGTH,
+            code_rate_cps=SINBOC_TABLE_RATE_CPS,
+            carrier_freq_hz=GAL.FREQ_HZ,
+            early_late_spacing_chips=el_sub,
+            very_early_late_spacing_chips=vel_sub,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=extend,
+            codes_per_bit=1,
+            track_pilot=True,
+            sec_len_pilot=25,
+            sec_len_data=1,
+            pilot_pll_atan2=True,
+            data_on_quadrature=False,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=InavDecoder,
+        search_prns=search_prns,
+        data_code_table=data_table,
+        sec_pilot_table=sec_pilot,
+        sec_data_levels=np.ones(1, dtype=np.float32),
+        acq_code_table=data_table,
+    )

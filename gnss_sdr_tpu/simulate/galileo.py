@@ -87,6 +87,11 @@ class GalileoScenarioConfig:
     seed: int = 0
     grid_step_s: float = 0.02
     tropo: bool = True                   # simulate Saastamoinen delay
+    # emit the E1-C pilot component (ICD composite
+    # s = (e_B*cboc_B - e_C*cboc_C)/sqrt(2), pilot carrying the CS25
+    # secondary). Off by default: the legacy data-only capture puts the
+    # full C/N0 on E1-B (existing tests); pilot-tracking tests enable it.
+    emit_pilot: bool = False
 
 
 class GalileoScenario:
@@ -130,6 +135,7 @@ class GalileoScenario:
         self._grids_phase: dict[int, tuple[np.ndarray, np.ndarray]] = {}
         self._geo: dict[int, dict] = {}
         self._cboc: dict[int, np.ndarray] = {}
+        self._cboc_pilot: dict[int, np.ndarray] = {}
         self._build_grids()
 
     # ------------------------------------------------------------------ truth
@@ -180,6 +186,15 @@ class GalileoScenario:
             self._grids[prn] = (t_grid, ttx)
             self._grids_phase[prn] = (t_grid, ttx)
             self._cboc[prn] = cboc_expand(galileo_e1b_code(prn))
+            if self.cfg.emit_pilot:
+                from gnss_sdr_tpu.codes.galileo_e1 import (
+                    e1c_secondary_chips,
+                    galileo_e1c_code,
+                )
+
+                self._cboc_pilot[prn] = cboc_expand(
+                    galileo_e1c_code(prn), pilot=True)
+                self._cs25 = e1c_secondary_chips().astype(np.float64)
 
     # --------------------------------------------------------------- generate
     def generate(self, start_sample: int, num_samples: int) -> np.ndarray:
@@ -200,7 +215,16 @@ class GalileoScenario:
                                              len(self._signs[prn]) - 1)]
             cycles = -GAL.FREQ_HZ * (t - ttx)
             phase = 2.0 * np.pi * np.mod(cycles, 1.0)
-            acc += amp * chips * signs * np.exp(1j * phase)
+            if cfg.emit_pilot:
+                # ICD composite: data and pilot at half power each, pilot
+                # with the structural minus sign and CS25 secondary
+                pilot = self._cboc_pilot[prn][sub_idx % sub_len]
+                per_idx = np.floor(ttx / GAL.CODE_PERIOD_S).astype(np.int64)
+                cs = self._cs25[per_idx % 25]
+                comp = (chips * signs - pilot * cs) / np.sqrt(2.0)
+                acc += amp * comp * np.exp(1j * phase)
+            else:
+                acc += amp * chips * signs * np.exp(1j * phase)
         if cfg.noise:
             rng = np.random.default_rng(
                 (cfg.seed * 0x51ED2701 + start_sample) & 0x7FFFFFFF

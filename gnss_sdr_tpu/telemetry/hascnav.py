@@ -20,7 +20,7 @@ telemetry/reed_solomon.py codec later."""
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

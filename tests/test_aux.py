@@ -171,3 +171,24 @@ def test_front_end_cal_estimates_lo_offset():
     assert out["ok"], out
     assert abs(out["f_offset_hz"] - lo_err) < 60.0, out["f_offset_hz"]
     assert out["resid_rms_hz"] < 60.0
+
+
+def test_agnss_server_round_trip(tmp_path):
+    """A-GNSS assistance over the network (SUPL re-expression,
+    receiver/agnss.py): server serves the assistance XML, client fetch
+    yields the same ephemerides a warm start needs."""
+    from gnss_sdr_tpu.receiver.agnss import AgnssServer, fetch_assistance
+    from gnss_sdr_tpu.receiver.assistance import save_assistance
+    from gnss_sdr_tpu.simulate.constellation import make_constellation
+
+    ephs = make_constellation(seed=5)
+    path = tmp_path / "assist.xml"
+    save_assistance(path, {("G", p): e for p, e in ephs.items()})
+    srv = AgnssServer(port=0)
+    srv.set_assistance_file(path)
+    data = fetch_assistance("127.0.0.1", srv.port)
+    srv.close()
+    got = data["ephemerides"]
+    assert len(got) == len(ephs)
+    assert abs(got[("G", 7)].sqrt_a - ephs[7].sqrt_a) < 1e-9
+    assert abs(got[("G", 7)].m0 - ephs[7].m0) < 1e-12

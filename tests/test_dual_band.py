@@ -55,7 +55,8 @@ def dual_band_rx():
             got = rx.acquire()
             acquired = (
                 len([k for k in rx.status.acquired if k[0] == "G"]) >= 4
-                and any(g.plan.name == "L5" and g.active_channels()
+                and any(g.plan.name == "L5"
+                        and len(g.active_channels()) >= 3
                         for g in rx.groups)
             )
         rx.run()
