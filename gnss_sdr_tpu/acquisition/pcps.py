@@ -382,9 +382,12 @@ class PcpsAcquisition:
 
     def _refine(self, x_ri: jnp.ndarray, prn_idx: jnp.ndarray, center_dop: jnp.ndarray,
                 codes_fft_conj: jnp.ndarray,
-                offsets: jnp.ndarray | None = None):
+                offsets: jnp.ndarray | None = None,
+                step2_hz: jnp.ndarray | float | None = None):
         """Second-step narrow Doppler zoom around per-channel coarse peaks
-        (reference make_2_steps / num_doppler_bins_step2)."""
+        (reference make_2_steps / num_doppler_bins_step2). `step2_hz`
+        optionally overrides the configured fine step at call time (used by
+        the iterative fine-doppler engine, acquisition/engines.py)."""
         conf = self.conf
         x = dev_combine(x_ri)
         C = x.shape[0]
@@ -393,9 +396,10 @@ class PcpsAcquisition:
         fdma_off = (jnp.zeros((C,), jnp.float32) if offsets is None
                     else offsets[prn_idx])
         nb2 = 2 * conf.num_doppler_bins_step2 + 1
-        offs = (jnp.arange(nb2, dtype=jnp.float32) - conf.num_doppler_bins_step2) * np.float32(
-            conf.doppler_step2_hz
-        )
+        step = (np.float32(conf.doppler_step2_hz) if step2_hz is None
+                else jnp.asarray(step2_hz, jnp.float32))
+        offs = (jnp.arange(nb2, dtype=jnp.float32)
+                - conf.num_doppler_bins_step2) * step
         dops = center_dop[:, None] + fdma_off[:, None] + offs[None, :]  # [C, B2]
 
         def one(xc, cf, dc, o):

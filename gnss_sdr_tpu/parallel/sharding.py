@@ -33,6 +33,7 @@ def state_shardings(mesh: Mesh) -> TrackingState:
     """NamedSharding pytree for TrackingState: leaf axis 0 = channel."""
     row = NamedSharding(mesh, P(CHANNEL_AXIS))
     mat = NamedSharding(mesh, P(CHANNEL_AXIS, None))
+    mat3 = NamedSharding(mesh, P(CHANNEL_AXIS, None, None))
     return TrackingState(
         enabled=row, pos=row, rem_code_phase=row, code_freq=row,
         carrier_phase=row, carrier_doppler=row, carrier_offset=row,
@@ -40,6 +41,7 @@ def state_shardings(mesh: Mesh) -> TrackingState:
         prev_prompt=mat, fll_active=row, narrow=row, use_atan2=row,
         integ_len=row, integ_count=row, acc_taps=mat, acc_samples=row,
         sec_idx=row, sec_active=row, acc_data=mat, acc_data_count=row,
+        kf_x=mat, kf_P=mat3, kf_pc=row,
     )
 
 

@@ -215,7 +215,24 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
 _ACQ_IMPLS = {
     "GPS_L1_CA_PCPS_Acquisition",
     "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
+    "GPS_L1_CA_PCPS_Assisted_Acquisition",
+    "GPS_L1_CA_PCPS_Tong_Acquisition",
+    "GPS_L1_CA_PCPS_QuickSync_Acquisition",
     "Galileo_E1_PCPS_Ambiguous_Acquisition",
+    "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition",
+    "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition",
+    "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition",
+    "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition",
+}
+
+# implementation string -> acquisition engine variant (acquisition/engines.py)
+_ACQ_ENGINE_BY_IMPL = {
+    "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler": "fine_doppler",
+    "GPS_L1_CA_PCPS_Tong_Acquisition": "tong",
+    "GPS_L1_CA_PCPS_QuickSync_Acquisition": "quicksync",
+    "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition": "tong",
+    "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition": "quicksync",
+    "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition": "cccwsr",
 }
 
 
@@ -366,12 +383,19 @@ def get_channel_counts(cfg: ConfigurationInterface) -> dict[str, int]:
 _PLAN_TABLE = {
     "1C": (
         {"GPS_L1_CA_PCPS_Acquisition",
-         "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler"},
-        {"GPS_L1_CA_DLL_PLL_Tracking"},
+         "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
+         "GPS_L1_CA_PCPS_Assisted_Acquisition",
+         "GPS_L1_CA_PCPS_Tong_Acquisition",
+         "GPS_L1_CA_PCPS_QuickSync_Acquisition"},
+        {"GPS_L1_CA_DLL_PLL_Tracking", "GPS_L1_CA_KF_Tracking"},
         "gps_l1ca_plan",
     ),
     "1B": (
-        {"Galileo_E1_PCPS_Ambiguous_Acquisition"},
+        {"Galileo_E1_PCPS_Ambiguous_Acquisition",
+         "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition",
+         "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition",
+         "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition",
+         "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition"},
         {"Galileo_E1_DLL_PLL_VEML_Tracking"},
         "galileo_e1b_plan",
     ),
@@ -507,6 +531,40 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
         opt("extend_correlation_symbols",
             f"Tracking_{sig}.extend_correlation_symbols", 0)
     plan = make(**kwargs)
+    # acquisition engine variants (Tong / QuickSync / fine-Doppler / CCCWSR)
+    engine = _ACQ_ENGINE_BY_IMPL.get(acq_impl)
+    if engine is not None:
+        plan.acq_engine = engine
+        if engine == "cccwsr":
+            from gnss_sdr_tpu.codes.galileo_e1 import galileo_e1b_code
+            import numpy as _np
+
+            plan.acq_engine_params["chips_table"] = _np.stack(
+                [galileo_e1b_code(p) for p in plan.search_prns])
+        elif engine == "tong":
+            plan.acq_engine_params.setdefault(
+                "tong_init", cfg.property(f"Acquisition_{sig}.tong_init_val", 1))
+            plan.acq_engine_params.setdefault(
+                "tong_max", cfg.property(f"Acquisition_{sig}.tong_max_val", 8))
+            plan.acq_engine_params.setdefault(
+                "max_attempts",
+                cfg.property(f"Acquisition_{sig}.tong_max_dwells", 0) or None)
+        elif engine == "quicksync":
+            plan.acq_engine_params.setdefault(
+                "folding_factor",
+                cfg.property(f"Acquisition_{sig}.folding_factor", 2))
+    if acq_impl == "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition":
+        # 8 ms = 2 E1 code periods of coherent integration
+        from dataclasses import replace as _replace
+
+        plan.acq_conf = _replace(plan.acq_conf,
+                                 coherent_integration_periods=2)
+    # KF tracking engine (kf_tracking.cc analog): same batched correlator,
+    # EKF state update instead of the loop filters
+    if trk_impl.endswith("_KF_Tracking"):
+        from dataclasses import replace as _replace
+
+        plan.trk_conf = _replace(plan.trk_conf, kf=True)
     # per-block dumps (reference Tracking_XX.dump / dump_filename)
     if cfg.property(f"Tracking_{sig}.dump", False):
         plan.dump_filename = cfg.property(

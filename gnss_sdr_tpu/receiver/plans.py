@@ -60,6 +60,11 @@ class SignalPlan:
     # acquisition grid and tracking NCO add offset(prn), and the channel's
     # true carrier is carrier_freq_hz + offset(prn)
     freq_offset_table: np.ndarray | None = None      # [P] Hz
+    # acquisition engine variant: "pcps" (default), "fine_doppler", "tong",
+    # "quicksync", "cccwsr" (acquisition/engines.py); extra ctor kwargs in
+    # acq_engine_params (e.g. tong_max, folding_factor, chips_table)
+    acq_engine: str = "pcps"
+    acq_engine_params: dict = field(default_factory=dict)
 
     def carrier_offset_hz(self, prn: int) -> float:
         if self.freq_offset_table is None:

@@ -94,10 +94,37 @@ class SignalGroup:
         self.offset = chan_offset           # global channel index base
         acq_table = (plan.acq_code_table if plan.acq_code_table is not None
                      else plan.code_table)
-        self.acq = PcpsAcquisition(
-            plan.acq_conf, acq_table, list(plan.search_prns), mesh=mesh,
-            freq_offset_table=plan.freq_offset_table,
-        )
+        prns = list(plan.search_prns)
+        params = dict(plan.acq_engine_params)
+        if plan.acq_engine == "pcps":
+            self.acq = PcpsAcquisition(
+                plan.acq_conf, acq_table, prns, mesh=mesh,
+                freq_offset_table=plan.freq_offset_table,
+            )
+        elif plan.acq_engine == "fine_doppler":
+            from gnss_sdr_tpu.acquisition import FineDopplerAcquisition
+
+            self.acq = FineDopplerAcquisition(
+                plan.acq_conf, acq_table, prns, mesh=mesh,
+                freq_offset_table=plan.freq_offset_table, **params)
+        elif plan.acq_engine == "tong":
+            from gnss_sdr_tpu.acquisition import TongAcquisition
+
+            self.acq = TongAcquisition(
+                plan.acq_conf, acq_table, prns, mesh=mesh,
+                freq_offset_table=plan.freq_offset_table, **params)
+        elif plan.acq_engine == "quicksync":
+            from gnss_sdr_tpu.acquisition import QuickSyncAcquisition
+
+            self.acq = QuickSyncAcquisition(
+                plan.acq_conf, acq_table, prns, **params)
+        elif plan.acq_engine == "cccwsr":
+            from gnss_sdr_tpu.acquisition import CccwsrAcquisition
+
+            chips = params.pop("chips_table")
+            self.acq = CccwsrAcquisition(plan.acq_conf, chips, prns, **params)
+        else:
+            raise ValueError(f"unknown acq_engine {plan.acq_engine!r}")
         self.tracker = Tracker(
             plan.trk_conf, plan.code_table,
             data_code_table=plan.data_code_table,
@@ -267,7 +294,9 @@ class Receiver:
 
     def _acquire_group(self, g: SignalGroup, at_sample: int | None) -> dict:
         plan = g.plan
-        n = plan.acq_conf.input_samples
+        # engine variants may consume a different window than the base conf
+        # (Tong: max_attempts dwells; QuickSync/CCCWSR: their own .win)
+        n = getattr(g.acq, "win", None) or g.acq.conf.input_samples
         start = self._buf_bases[plan.band] if at_sample is None else at_sample
         x = self._slice(plan.band, start, n)
         if x is None:

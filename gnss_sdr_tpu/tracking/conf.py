@@ -77,6 +77,19 @@ class DllPllConf:
     # guard; GPS's 20 ms histogram takes seconds anyway.
     bit_sync_delay_s: float = 0.5
 
+    # Kalman tracking mode (reference kf_tracking.cc / kf_conf.h,
+    # GPS_L1_CA_KF_Tracking): at integration boundaries the carrier loop
+    # runs a 3-state error-EKF [phase_cycles, freq_hz, freq_rate_hz_s] on
+    # the PLL (and, while fll_active, FLL) discriminators instead of the
+    # loop filters; the code loop uses a Kalman-scalar gain on the DLL
+    # discriminator plus carrier aiding.
+    kf: bool = False
+    kf_meas_std_cycles: float = 0.02      # PLL discriminator noise sigma
+    kf_freq_meas_std_hz: float = 25.0     # FLL discriminator noise sigma (1 ms)
+    kf_code_meas_std_chips: float = 0.02  # DLL discriminator noise sigma
+    kf_accel_std_hz_s2: float = 5.0       # carrier jerk process noise
+    kf_code_process_std_chips: float = 1e-3
+
     # Lock detection (reference cn0_* / max_*_lock_fail knobs)
     cn0_estimation_blocks: int = 20
     cn0_min_dbhz: float = 25.0

@@ -81,6 +81,10 @@ class TrackingState(NamedTuple):
     sec_active: jnp.ndarray         # bool — secondary wipeoff engaged
     acc_data: jnp.ndarray           # [C,2] f32 ri — data-component accumulator
     acc_data_count: jnp.ndarray     # i32 — periods in the data accumulator
+    # Kalman tracking mode (conf.kf; reference kf_tracking.cc analog)
+    kf_x: jnp.ndarray               # [C,3] f32 — [dphase cyc, dfreq Hz, dfdot Hz/s]
+    kf_P: jnp.ndarray               # [C,3,3] f32 — carrier state covariance
+    kf_pc: jnp.ndarray              # f32 — code-delay error variance (chips^2)
 
 
 class StepOutputs(NamedTuple):
@@ -127,6 +131,11 @@ def init_state(conf: DllPllConf) -> TrackingState:
         sec_active=jnp.zeros((c,), bool),
         acc_data=jnp.zeros((c, 2), jnp.float32),
         acc_data_count=jnp.zeros((c,), jnp.int32),
+        kf_x=jnp.zeros((c, 3), jnp.float32),
+        kf_P=jnp.tile(
+            jnp.diag(jnp.array([0.01, 2500.0, 100.0], jnp.float32)),
+            (c, 1, 1)),
+        kf_pc=jnp.full((c,), 0.25, jnp.float32),
     )
 
 
@@ -325,16 +334,91 @@ def track_block(
             st.dll_state, code_err, dll_bw, t_int, conf.dll_filter_order
         )
 
-        doppler_new = jnp.where(boundary, pll_out, st.carrier_doppler)
-        # carrier-aided code NCO (reference run_dll_pll code freq update)
-        aid = doppler_new.astype(jnp.float64) * (
-            conf.code_rate_cps / conf.carrier_freq_hz
-        )
-        code_freq_new = jnp.where(
-            boundary,
-            np.float64(conf.code_rate_cps) + aid - dll_out.astype(jnp.float64),
-            st.code_freq,
-        )
+        if conf.kf:
+            # ---- Kalman carrier/code update (reference kf_tracking.cc) ----
+            # Error-state EKF: x = [phase err (cycles), freq err (Hz),
+            # freq-rate err (Hz/s)] relative to the commanded NCO. The PLL
+            # discriminator measures x0; the FLL discriminator measures x1
+            # (enabled while fll_active via its R). After the update the
+            # estimated phase/freq errors are transferred to the NCO
+            # command (phase folded into the next interval's frequency),
+            # which zeroes those error states; covariance is unchanged by
+            # the deterministic transfer.
+            T = jnp.maximum(t_int, np.float32(1e-6))           # [C]
+            one = jnp.ones_like(T)
+            zero = jnp.zeros_like(T)
+            F = jnp.stack([
+                jnp.stack([one, T, 0.5 * T * T], -1),
+                jnp.stack([zero, one, T], -1),
+                jnp.stack([zero, zero, one], -1),
+            ], axis=-2)                                        # [C,3,3]
+            q = np.float32(conf.kf_accel_std_hz_s2 ** 2)
+            T2 = T * T
+            T3 = T2 * T
+            Q = q * jnp.stack([
+                jnp.stack([T3 * T2 / 20, T2 * T2 / 8, T3 / 6], -1),
+                jnp.stack([T2 * T2 / 8, T3 / 3, T2 / 2], -1),
+                jnp.stack([T3 / 6, T2 / 2, T], -1),
+            ], axis=-2)                                        # [C,3,3]
+            x_pred = jnp.einsum("cij,cj->ci", F, st.kf_x)
+            P_pred = jnp.einsum(
+                "cij,cjk,clk->cil", F, st.kf_P, F) + Q
+            # update 1: phase discriminator — gated off during FLL pull-in
+            # (the Costas atan wraps every 1/4 cycle; chasing wraps while
+            # the frequency error is still tens of Hz drives false locks)
+            R1 = jnp.where(st.fll_active,
+                           np.float32(1e9),
+                           np.float32(conf.kf_meas_std_cycles ** 2))
+            S1 = P_pred[:, 0, 0] + R1
+            K1 = P_pred[:, :, 0] / S1[:, None]                 # [C,3]
+            x_up = x_pred + K1 * (carr_err - x_pred[:, 0])[:, None]
+            P_up = P_pred - K1[:, :, None] * P_pred[:, None, 0, :]
+            # update 2: frequency discriminator (pull-in only)
+            R2 = jnp.where(st.fll_active,
+                           np.float32(conf.kf_freq_meas_std_hz ** 2),
+                           np.float32(1e12))
+            S2 = P_up[:, 1, 1] + R2
+            K2 = P_up[:, :, 1] / S2[:, None]
+            x_up = x_up + K2 * (freq_err - x_up[:, 1])[:, None]
+            P_up = P_up - K2[:, :, None] * P_up[:, None, 1, :]
+            # transfer the freq-error estimate to the NCO frequency; the
+            # phase-error estimate corrects the NCO *phase* directly below
+            # (folding it into the frequency would leave a permanent bias)
+            doppler_kf = st.carrier_doppler + x_up[:, 1]
+            doppler_new = jnp.where(boundary, doppler_kf, st.carrier_doppler)
+            kf_phase_corr = jnp.where(
+                boundary, two_pi * x_up[:, 0], 0.0).astype(jnp.float64)
+            kf_x_new = jnp.where(
+                boundary[:, None],
+                jnp.stack([zero, zero, x_up[:, 2]], -1), st.kf_x)
+            kf_P_new = jnp.where(boundary[:, None, None], P_up, st.kf_P)
+            # code: scalar Kalman gain on the DLL discriminator + aiding
+            qc = np.float32(conf.kf_code_process_std_chips ** 2)
+            Rc = np.float32(conf.kf_code_meas_std_chips ** 2)
+            pc_pred = st.kf_pc + qc
+            kc = pc_pred / (pc_pred + Rc)
+            aid = doppler_new.astype(jnp.float64) * (
+                conf.code_rate_cps / conf.carrier_freq_hz
+            )
+            code_freq_new = jnp.where(
+                boundary,
+                np.float64(conf.code_rate_cps) + aid
+                - (kc * code_err / T).astype(jnp.float64),
+                st.code_freq,
+            )
+            kf_pc_new = jnp.where(boundary, (1.0 - kc) * pc_pred, st.kf_pc)
+        else:
+            doppler_new = jnp.where(boundary, pll_out, st.carrier_doppler)
+            # carrier-aided code NCO (reference run_dll_pll code freq update)
+            aid = doppler_new.astype(jnp.float64) * (
+                conf.code_rate_cps / conf.carrier_freq_hz
+            )
+            code_freq_new = jnp.where(
+                boundary,
+                np.float64(conf.code_rate_cps) + aid - dll_out.astype(jnp.float64),
+                st.code_freq,
+            )
+            kf_x_new, kf_P_new, kf_pc_new = st.kf_x, st.kf_P, st.kf_pc
 
         # ---- advance NCO state by the consumed period ---------------------
         nf64 = n.astype(jnp.float64)
@@ -344,6 +428,8 @@ def track_block(
         carrier_phase = st.carrier_phase + (
             2.0 * np.pi / fs
         ) * nco_freq * nf64
+        if conf.kf:
+            carrier_phase = carrier_phase + kf_phase_corr
         rem_new = st.rem_code_phase + nf64 * code_step - code_len
         rem_new = jnp.where(rem_new < 0.0, rem_new + code_len, rem_new)
 
@@ -379,6 +465,9 @@ def track_block(
                 data_boundary, jnp.zeros_like(acc_data), acc_data
             )),
             acc_data_count=jnp.where(data_boundary, 0, acc_data_count),
+            kf_x=kf_x_new,
+            kf_P=kf_P_new,
+            kf_pc=kf_pc_new,
         )
         out = StepOutputs(
             prompt=corr[:, p_idx],

@@ -264,6 +264,10 @@ class Tracker:
             sec_active=s.sec_active.at[ch].set(False),
             acc_data=s.acc_data.at[ch].set(0.0),
             acc_data_count=s.acc_data_count.at[ch].set(0),
+            kf_x=s.kf_x.at[ch].set(0.0),
+            kf_P=s.kf_P.at[ch].set(jnp.diag(
+                jnp.array([0.01, 2500.0, 100.0], jnp.float32))),
+            kf_pc=s.kf_pc.at[ch].set(0.25),
         )
 
     def stop_channel(self, ch: int) -> None:
