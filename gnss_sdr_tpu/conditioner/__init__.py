@@ -14,9 +14,17 @@ from gnss_sdr_tpu.conditioner.filters import (
     pulse_blanking_block,
 )
 from gnss_sdr_tpu.conditioner.resampler import direct_resample, polyphase_resample
+from gnss_sdr_tpu.conditioner.beamformer import (
+    ArrayConditioner,
+    Beamformer,
+    steering_weights,
+)
 
 __all__ = [
     "ADAPTERS",
+    "ArrayConditioner",
+    "Beamformer",
+    "steering_weights",
     "ConditionerConfig",
     "PassThrough",
     "SignalConditioner",

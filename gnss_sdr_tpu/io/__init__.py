@@ -11,23 +11,33 @@ from gnss_sdr_tpu.io.sources import (
     FifoSignalSource,
     FileMeta,
     FileSignalSource,
+    GeneratorSignalSource,
     MultichannelFileSignalSource,
     SignalSource,
     UdpSignalSource,
     Valve,
 )
+from gnss_sdr_tpu.io.labsat import LabsatSignalSource, encode_labsat_file
+from gnss_sdr_tpu.io.net_sources import RtlTcpSignalSource, ZmqSignalSource
+from gnss_sdr_tpu.io.ion_gsms import IonGsmsSignalSource
 
 __all__ = [
     "ArraySignalSource",
     "FifoSignalSource",
     "FileMeta",
     "FileSignalSource",
+    "GeneratorSignalSource",
+    "IonGsmsSignalSource",
+    "LabsatSignalSource",
     "MultichannelFileSignalSource",
+    "RtlTcpSignalSource",
     "SignalSource",
     "UdpSignalSource",
     "Valve",
+    "ZmqSignalSource",
     "bytes_per_sample",
     "decode_samples",
+    "encode_labsat_file",
     "encode_samples",
     "item_format_names",
 ]

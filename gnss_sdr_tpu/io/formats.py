@@ -35,7 +35,8 @@ _FORMATS = {
     "gr_complex": (np.complex64, 1),
 }
 
-PACKED_FORMATS = ("2bit_real", "2bit_cpx", "4bit_real", "4bit_cpx")
+PACKED_FORMATS = ("2bit_real", "2bit_cpx", "4bit_real", "4bit_cpx",
+                  "spir_1bit", "gss6450_2bit", "gss6450_4bit", "ntlab_2bit")
 
 
 def item_format_names() -> tuple[str, ...]:
@@ -55,6 +56,14 @@ def bytes_per_sample(fmt: str) -> float:
         return 0.5
     if fmt == "4bit_cpx":
         return 1.0
+    if fmt == "spir_1bit":       # one complex sample per int32 word
+        return 4.0
+    if fmt == "gss6450_2bit":    # 8 complex samples per uint32 word
+        return 0.5
+    if fmt == "gss6450_4bit":    # 4 complex samples per uint32 word
+        return 1.0
+    if fmt == "ntlab_2bit":      # 4 real sign/magnitude samples per byte
+        return 0.25
     raise ValueError(f"unknown sample format: {fmt!r}")
 
 
@@ -110,6 +119,46 @@ def decode_samples(raw: bytes | np.ndarray, fmt: str) -> np.ndarray:
             return items.astype(np.float32).astype(np.complex64)
         iq = items.reshape(-1, 2).astype(np.float32)
         return (iq[:, 0] + 1j * iq[:, 1]).astype(np.complex64)
+    if fmt == "spir_1bit":
+        # SPIR 1-bit: one int32 word per complex sample, channel-1 layout
+        # I = bit 0, Q = bit 1, bit value 1 -> +1 / 0 -> -1
+        # (reference unpack_intspir_1bit_samples.cc work(); the reference
+        # scales to +-32767 for historical reasons — normalized here)
+        w = buf[: 4 * (buf.size // 4)].view(np.uint32)
+        i = ((w & 1).astype(np.float32) * 2.0 - 1.0)
+        q = (((w >> 1) & 1).astype(np.float32) * 2.0 - 1.0)
+        return (i + 1j * q).astype(np.complex64)
+    if fmt in ("gss6450_2bit", "gss6450_4bit"):
+        # SPIR GSS6450: uint32 words, I/Q packed two's complement; the
+        # first sample in time sits in the HIGH bits (the reference writes
+        # out[7-i]/out[3-i] while extracting from the LSB,
+        # unpack_spir_gss6450_samples.cc decode_4bits_word)
+        bits = 2 if fmt.endswith("2bit") else 4
+        per = 32 // (2 * bits)
+        mask = (1 << bits) - 1
+        half = 1 << (bits - 1)
+        w = buf[: 4 * (buf.size // 4)].view(np.uint32)
+        out = np.empty((w.size, per), dtype=np.complex64)
+        for k in range(per):                    # k = 0 is first in time
+            shift = 2 * bits * (per - 1 - k)
+            iv = ((w >> shift) & mask).astype(np.int32)
+            qv = ((w >> (shift + bits)) & mask).astype(np.int32)
+            iv = np.where(iv >= half, iv - (2 * half), iv)
+            qv = np.where(qv >= half, qv - (2 * half), qv)
+            out[:, k] = iv.astype(np.float32) + 1j * qv.astype(np.float32)
+        return out.reshape(-1)
+    if fmt == "ntlab_2bit":
+        # NTLab: 4 sign/magnitude samples per byte, MSB-first; magnitude
+        # bit above the sign bit; levels +-1 / +-3
+        # (unpack_ntlab_2bit_samples.cc work())
+        out = np.empty((buf.size, 4), dtype=np.float32)
+        for n in range(4):
+            shift = 2 * (3 - n)
+            mbit = (buf >> (shift + 1)) & 1
+            sbit = (buf >> shift) & 1
+            mag = np.where(mbit == 1, 3.0, 1.0).astype(np.float32)
+            out[:, n] = np.where(sbit == 1, mag, -mag)
+        return out.reshape(-1).astype(np.complex64)
     if fmt.startswith("2bit"):
         fields = _sign_extend_2bit(buf)
     elif fmt.startswith("4bit"):
@@ -145,6 +194,37 @@ def encode_samples(x: np.ndarray, fmt: str) -> bytes:
         iq[1::2] = np.clip(np.round(x.imag), info.min, info.max).astype(dt)
         return iq.tobytes()
 
+    if fmt == "spir_1bit":
+        w = ((np.real(x) > 0).astype(np.uint32)
+             | ((np.imag(x) > 0).astype(np.uint32) << 1))
+        return w.tobytes()
+    if fmt in ("gss6450_2bit", "gss6450_4bit"):
+        bits = 2 if fmt.endswith("2bit") else 4
+        per = 32 // (2 * bits)
+        half = 1 << (bits - 1)
+        mask = (1 << bits) - 1
+        pad = (-x.size) % per
+        xv = np.concatenate([x.reshape(-1), np.zeros(pad, x.dtype)])
+        iv = np.clip(np.round(xv.real), -half, half - 1).astype(np.int64) & mask
+        qv = np.clip(np.round(xv.imag), -half, half - 1).astype(np.int64) & mask
+        w = np.zeros(xv.size // per, dtype=np.int64)
+        for k in range(per):
+            shift = 2 * bits * (per - 1 - k)
+            w |= iv[k::per] << shift
+            w |= qv[k::per] << (shift + bits)
+        return w.astype(np.uint32).tobytes()
+    if fmt == "ntlab_2bit":
+        v = np.real(x)
+        pad = (-v.size) % 4
+        v = np.concatenate([v.reshape(-1), np.ones(pad)])
+        sbit = (v > 0).astype(np.int64)
+        mbit = (np.abs(v) >= 2).astype(np.int64)
+        b = np.zeros(v.size // 4, dtype=np.int64)
+        for n in range(4):
+            shift = 2 * (3 - n)
+            b |= sbit[n::4] << shift
+            b |= mbit[n::4] << (shift + 1)
+        return b.astype(np.uint8).tobytes()
     if fmt.startswith("2bit"):
         bits, lo, hi = 2, -2, 1
     elif fmt.startswith("4bit"):

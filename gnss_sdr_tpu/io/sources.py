@@ -148,6 +148,39 @@ class ArraySignalSource(SignalSource):
         return self.samples_read >= len(self._x)
 
 
+class GeneratorSignalSource(SignalSource):
+    """Synthesized multi-satellite source (reference SignalGenerator block,
+    signal_generator/gnuradio_blocks/signal_generator_c.cc): streams the
+    framework's own simulator output as a SignalSource, for closed-loop
+    tests without a capture file."""
+
+    def __init__(self, sats, fs: float, total_samples: int,
+                 noise: bool = True, seed: int = 0,
+                 chunk: int = 1 << 20) -> None:
+        from gnss_sdr_tpu.simulate import generate_baseband
+
+        self._gen = generate_baseband
+        self.sats = sats
+        self.fs = fs
+        self.total_samples = total_samples
+        self.noise = noise
+        self.seed = seed
+
+    def read(self, num_samples: int) -> np.ndarray:
+        n = min(num_samples, self.total_samples - self.samples_read)
+        if n <= 0:
+            return np.zeros(0, dtype=np.complex64)
+        t0 = self.samples_read / self.fs
+        # per-chunk seed keeps the stream deterministic under any chunking
+        x = self._gen(self.sats, self.fs, n, noise=self.noise,
+                      seed=self.seed + self.samples_read, t0=t0)
+        self.samples_read += n
+        return x
+
+    def exhausted(self) -> bool:
+        return self.samples_read >= self.total_samples
+
+
 class FifoSignalSource(SignalSource):
     """Blocking FIFO/pipe reader (Fifo_Signal_Source analog)."""
 

@@ -116,6 +116,84 @@ def get_signal_source(cfg: ConfigurationInterface, role: str = "SignalSource"):
             fmt=fmt,
             fs=fs,
         )
+    if impl == "Spir_File_Signal_Source":
+        meta = FileMeta(
+            path=cfg.property(f"{role}.filename", ""), format="spir_1bit",
+            fs=fs,
+        )
+        return FileSignalSource(meta)
+    if impl == "Spir_GSS6450_File_Signal_Source":
+        adc_bits = cfg.property(f"{role}.adc_bits", 4)
+        if adc_bits not in (2, 4):
+            raise UnknownImplementation(
+                f"{role}.adc_bits={adc_bits} (GSS6450 supports 2 or 4)")
+        meta = FileMeta(
+            path=cfg.property(f"{role}.filename", ""),
+            format=f"gss6450_{adc_bits}bit", fs=fs,
+            total_samples=cfg.property(f"{role}.samples", 0) or None,
+        )
+        return FileSignalSource(meta)
+    if impl == "NTLab_File_Signal_Source":
+        meta = FileMeta(
+            path=cfg.property(f"{role}.filename", ""), format="ntlab_2bit",
+            fs=fs,
+        )
+        return FileSignalSource(meta)
+    if impl == "Labsat_Signal_Source":
+        from gnss_sdr_tpu.io import LabsatSignalSource
+
+        return LabsatSignalSource(
+            cfg.property(f"{role}.filename", ""), fs=fs)
+    if impl == "RtlTcp_Signal_Source":
+        from gnss_sdr_tpu.io import RtlTcpSignalSource
+
+        gain = cfg.property(f"{role}.gain", 0.0)
+        return RtlTcpSignalSource(
+            address=cfg.property(f"{role}.address", "127.0.0.1"),
+            port=cfg.property(f"{role}.port", 1234),
+            fs=fs,
+            freq_hz=cfg.property(f"{role}.freq", 1_575_420_000.0),
+            gain_db=gain if gain else None,
+            agc=cfg.property(f"{role}.AGC_enabled", True),
+        )
+    if impl == "ZMQ_Signal_Source":
+        from gnss_sdr_tpu.io import ZmqSignalSource
+
+        return ZmqSignalSource(
+            cfg.property(f"{role}.endpoint", "tcp://127.0.0.1:5555"),
+            fmt=fmt, fs=fs,
+        )
+    if impl == "ION_GSMS_Signal_Source":
+        from gnss_sdr_tpu.io import IonGsmsSignalSource
+
+        return IonGsmsSignalSource(
+            cfg.property(f"{role}.metadata_filename", ""), fs_override=fs)
+    if impl == "Raw_Array_Signal_Source":
+        # antenna-array capture: one file per element, beamformed in the
+        # conditioner (Beamformer_Filter)
+        n = cfg.property(f"{role}.channels", 2)
+        metas = [
+            FileMeta(path=cfg.property(f"{role}.filename{i}", ""),
+                     format=fmt, fs=fs)
+            for i in range(n)
+        ]
+        return MultichannelFileSignalSource(metas)
+    if impl == "SignalGenerator":
+        from gnss_sdr_tpu.io import GeneratorSignalSource
+        from gnss_sdr_tpu.simulate import SatelliteSignalParams
+
+        n_sats = cfg.property(f"{role}.num_satellites", 1)
+        sats = []
+        for i in range(n_sats):
+            sats.append(SatelliteSignalParams(
+                prn=cfg.property(f"{role}.PRN_{i}", i + 1),
+                cn0_dbhz=cfg.property(f"{role}.CN0_dB_{i}", 44.0),
+                doppler_hz=cfg.property(f"{role}.doppler_Hz_{i}", 0.0),
+                delay_chips=cfg.property(f"{role}.delay_chips_{i}", 0.0),
+            ))
+        dur = cfg.property(f"{role}.duration_s", 10.0)
+        return GeneratorSignalSource(sats, fs, int(dur * fs),
+                                     seed=cfg.property(f"{role}.seed", 0))
     raise UnknownImplementation(f"{role}.implementation={impl!r}")
 
 
@@ -186,6 +264,33 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
         notch = True
     elif filt_impl == "Pulse_Blanking_Filter":
         blanking = True
+    elif filt_impl == "Beamformer_Filter":
+        # array conditioner: beamform the element streams, then condition
+        from gnss_sdr_tpu.conditioner.beamformer import (
+            ArrayConditioner,
+            Beamformer,
+            steering_weights,
+        )
+        import numpy as _np
+
+        n_elem = p("InputFilter", "number_of_channels", 8)
+        if cfg.has_property(f"InputFilter{suffix}.weight0_real") or (
+                not suffix and cfg.has_property("InputFilter.weight0_real")):
+            weights = _np.asarray([
+                complex(p("InputFilter", f"weight{i}_real", 1.0),
+                        p("InputFilter", f"weight{i}_imag", 0.0))
+                for i in range(n_elem)
+            ], dtype=_np.complex64)
+        else:
+            weights = steering_weights(
+                n_elem,
+                p("InputFilter", "spacing_wavelengths", 0.5),
+                p("InputFilter", "steer_deg", 0.0))
+        # multichannel sources decode to complex already; the inner chain
+        # conditions the beamformed complex stream
+        inner = SignalConditioner(ConditionerConfig(
+            input_format="passthrough", fs_in=fs_in))
+        return ArrayConditioner(Beamformer(weights), inner)
     elif filt_impl != "Pass_Through":
         raise UnknownImplementation(f"InputFilter.implementation={filt_impl!r}")
 

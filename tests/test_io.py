@@ -35,6 +35,14 @@ def _roundtrip(fmt, n=64):
         vals = (RNG.integers(-100, 100, size=n) + 0j).astype(np.complex64)
     elif fmt == "gr_complex":
         vals = (RNG.normal(size=n) + 1j * RNG.normal(size=n)).astype(np.complex64)
+    elif fmt == "spir_1bit":
+        vals = RNG.choice([-1, 1], size=n) + 1j * RNG.choice([-1, 1], size=n)
+    elif fmt == "gss6450_2bit":
+        vals = RNG.integers(-2, 2, size=n) + 1j * RNG.integers(-2, 2, size=n)
+    elif fmt == "gss6450_4bit":
+        vals = RNG.integers(-8, 8, size=n) + 1j * RNG.integers(-8, 8, size=n)
+    elif fmt == "ntlab_2bit":
+        vals = RNG.choice([-3.0, -1.0, 1.0, 3.0], size=n) + 0j
     else:
         vals = RNG.integers(-100, 100, size=n) + 1j * RNG.integers(-100, 100, size=n)
     vals = vals.astype(np.complex64)
