@@ -473,7 +473,7 @@ def get_channel_counts(cfg: ConfigurationInterface) -> dict[str, int]:
     gnss_block_factory.cc GetChannels grouping)."""
     out = {}
     for sig in ("1C", "1B", "2S", "L5", "5X", "7X", "E6", "1G", "2G",
-                "B1", "B3", "J1", "J5", "SBAS"):
+                "B1", "B1G", "B3", "J1", "J5", "SBAS"):
         n = cfg.property(f"Channels_{sig}.count", 0)
         if n:
             out[sig] = n
@@ -519,6 +519,13 @@ _PLAN_TABLE = {
         {"BEIDOU_B1I_PCPS_Acquisition"},
         {"BEIDOU_B1I_DLL_PLL_Tracking"},
         "beidou_b1i_plan",
+    ),
+    # GEO satellites stream D2 NAV (no NH secondary, 500 bps); separate
+    # batched group so MEO/IGSO (D1) and GEO channels coexist on B1
+    "B1G": (
+        {"BEIDOU_B1I_PCPS_Acquisition"},
+        {"BEIDOU_B1I_DLL_PLL_Tracking"},
+        "beidou_b1i_geo_plan",
     ),
     "7X": (
         {"Galileo_E5b_PCPS_Acquisition"},
@@ -571,6 +578,7 @@ _DEFAULT_IMPLS = {
     "L5": ("GPS_L5i_PCPS_Acquisition", "GPS_L5_DLL_PLL_Tracking"),
     "5X": ("Galileo_E5a_Pcps_Acquisition", "Galileo_E5a_DLL_PLL_Tracking"),
     "B1": ("BEIDOU_B1I_PCPS_Acquisition", "BEIDOU_B1I_DLL_PLL_Tracking"),
+    "B1G": ("BEIDOU_B1I_PCPS_Acquisition", "BEIDOU_B1I_DLL_PLL_Tracking"),
     "7X": ("Galileo_E5b_PCPS_Acquisition", "Galileo_E5b_DLL_PLL_Tracking"),
     "2S": ("GPS_L2_M_PCPS_Acquisition", "GPS_L2_M_DLL_PLL_Tracking"),
     "B3": ("BEIDOU_B3I_PCPS_Acquisition", "BEIDOU_B3I_DLL_PLL_Tracking"),
@@ -689,9 +697,9 @@ def get_signal_plans(cfg: ConfigurationInterface,
     plans = []
     for sig, n in counts.items():
         band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5",
-                "B1": "B1", "7X": "E5b", "2S": "L2", "B3": "B3",
-                "1G": "G1", "J1": "L1", "SBAS": "L1", "E6": "E6",
-                "2G": "G2"}.get(sig, "L1")
+                "B1": "B1", "B1G": "B1", "7X": "E5b", "2S": "L2",
+                "B3": "B3", "1G": "G1", "J1": "L1", "SBAS": "L1",
+                "E6": "E6", "2G": "G2"}.get(sig, "L1")
         if isinstance(fs_by_band, dict):
             if band not in fs_by_band:
                 raise ValueError(
