@@ -96,8 +96,18 @@ class PppEngine:
 
     def process_epoch(self, t: float, obs: list[DualFreqObs],
                       ephemerides: dict,
-                      x0: np.ndarray | None = None) -> PppSolution:
-        usable = [o for o in obs if (o.system, o.prn) in ephemerides]
+                      x0: np.ndarray | None = None,
+                      precise=None) -> PppSolution:
+        """``precise``: optional pvt.preceph.PreciseEphemeris — SP3
+        orbit/clock interpolation replaces the broadcast satellite
+        position/clock (rtklib satpos EPHOPT_PREC), the defining input of
+        real PPP processing."""
+        if precise is not None:
+            usable = [o for o in obs
+                      if precise.sat_pos_clock(o.system, o.prn, t) is not None
+                      or (o.system, o.prn) in ephemerides]
+        else:
+            usable = [o for o in obs if (o.system, o.prn) in ephemerides]
         if len(usable) < 4:
             return PppSolution()
         if self.x is None:
@@ -117,8 +127,13 @@ class PppEngine:
             # range-like quantity -lambda*phi
             l_if = a1 * (-lam1 * o.phi1_cycles) + a2 * (-lam2 * o.phi2_cycles)
             tau = p_if / C_LIGHT
-            p, _, dts, _ = eph_to_pos_vel_clock(
-                ephemerides[(o.system, o.prn)], t - tau)
+            prec = (precise.sat_pos_clock(o.system, o.prn, t - tau)
+                    if precise is not None else None)
+            if prec is not None:
+                p, dts = prec
+            else:
+                p, _, dts, _ = eph_to_pos_vel_clock(
+                    ephemerides[(o.system, o.prn)], t - tau)
             th = OMEGA_E * tau
             rot = np.array([[np.cos(th), np.sin(th), 0.0],
                             [-np.sin(th), np.cos(th), 0.0],

@@ -78,14 +78,24 @@ def solve_pvt(
     max_iter: int = 10,
     raim_threshold_m: float = 30.0,
     raim_max_reject: int = 2,
+    sbas=None,
 ) -> PvtSolution:
     """Single-point LS solve with residual-based RAIM/outlier rejection
     (reference rtklib_pntpos.cc estpos + raim_fde): if the worst post-fit
     residual exceeds `raim_threshold_m` and redundancy allows, the worst
     observation is excluded and the solve repeats.  Set
-    raim_threshold_m <= 0 to disable."""
+    raim_threshold_m <= 0 to disable.
+
+    ``sbas``: optional pvt.sbas_corr.SbasCorrections — applies fast PRC,
+    long-term range corrections, and grid iono (replacing Klobuchar for
+    covered pierce points) before the final solve, SBAS-aided single
+    point mode (rtklib pntpos with opt->sateph == EPHOPT_SBAS)."""
     current = list(obs)
     rejected: list = []
+    if sbas is not None:
+        current, iono = _apply_sbas(
+            current, ephemerides, rx_tow_s, sbas, iono, x0,
+            elevation_mask_rad, max_iter)
     while True:
         sol = _solve_core(
             current, ephemerides, rx_tow_s, iono=iono, x0=x0,
@@ -108,6 +118,49 @@ def solve_pvt(
         rejected.append(key)
         current = [o for o in current
                    if (o.system, o.prn, o.signal) != key]
+
+
+def _apply_sbas(obs, ephemerides, rx_tow_s, sbas, iono, x0,
+                elevation_mask_rad, max_iter):
+    """Correct pseudoranges with SBAS fast/long-term/iono-grid terms
+    using a rough position from an uncorrected solve; returns
+    (corrected_obs, iono) where iono is None when the grid covered every
+    used pierce point (grid replaces Klobuchar)."""
+    from dataclasses import replace as _dc_replace
+
+    from gnss_sdr_tpu.pvt.sbas_corr import pierce_point
+
+    base = _solve_core(obs, ephemerides, rx_tow_s, iono=None, x0=x0,
+                       elevation_mask_rad=elevation_mask_rad,
+                       apply_atmosphere=False, max_iter=max_iter)
+    if not base.valid:
+        return obs, iono
+
+    def _eph_for(o):
+        return ephemerides.get((o.system, o.prn)) or ephemerides.get(o.prn)
+
+    out = []
+    all_covered = True
+    for o in obs:
+        eph = _eph_for(o)
+        if eph is None:
+            out.append(o)
+            continue
+        t_tx = rx_tow_s - o.pseudorange_m / C_LIGHT
+        p, _, _, _ = eph_to_pos_vel_clock(eph, t_tx)
+        rho = np.linalg.norm(p - base.pos_ecef)
+        los = (p - base.pos_ecef) / rho
+        pr = (o.pseudorange_m + sbas.fast_correction(o.prn)
+              + sbas.long_term_range_correction(o.prn, los))
+        az, el = az_el(base.pos_ecef, p)
+        lat_pp, lon_pp = pierce_point(base.lat_rad, base.lon_rad, az, el)
+        di = sbas.iono_delay_m(lat_pp, lon_pp, el)
+        if di is not None:
+            pr -= o.tgd_gamma * di
+        else:
+            all_covered = False
+        out.append(_dc_replace(o, pseudorange_m=pr))
+    return out, (None if all_covered else iono)
 
 
 def _solve_core(
