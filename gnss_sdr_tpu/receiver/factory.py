@@ -563,6 +563,11 @@ _PLAN_TABLE = {
         {"Galileo_E6_DLL_PLL_Tracking"},
         "galileo_e6b_plan",
     ),
+    "J5": (
+        {"QZSS_L5i_PCPS_Acquisition"},
+        {"QZSS_L5i_DLL_PLL_Tracking", "QZSS_L5_DLL_PLL_Tracking"},
+        "qzss_l5_plan",
+    ),
     "2G": (
         {"GLONASS_L2_CA_PCPS_Acquisition"},
         {"GLONASS_L2_CA_DLL_PLL_Tracking",
@@ -587,6 +592,7 @@ _DEFAULT_IMPLS = {
     "J1": ("QZSS_L1_PCPS_Acquisition", "QZSS_L1_CA_DLL_PLL_Tracking"),
     "SBAS": ("SBAS_L1_PCPS_Acquisition", "SBAS_L1_DLL_PLL_Tracking"),
     "E6": ("Galileo_E6_PCPS_Acquisition", "Galileo_E6_DLL_PLL_Tracking"),
+    "J5": ("QZSS_L5i_PCPS_Acquisition", "QZSS_L5i_DLL_PLL_Tracking"),
     "2G": ("GLONASS_L2_CA_PCPS_Acquisition",
            "GLONASS_L2_CA_DLL_PLL_Tracking"),
 }
@@ -698,8 +704,8 @@ def get_signal_plans(cfg: ConfigurationInterface,
     for sig, n in counts.items():
         band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5",
                 "B1": "B1", "B1G": "B1", "7X": "E5b", "2S": "L2",
-                "B3": "B3", "1G": "G1", "J1": "L1", "SBAS": "L1",
-                "E6": "E6", "2G": "G2"}.get(sig, "L1")
+                "B3": "B3", "1G": "G1", "J1": "L1", "J5": "L5",
+                "SBAS": "L1", "E6": "E6", "2G": "G2"}.get(sig, "L1")
         if isinstance(fs_by_band, dict):
             if band not in fs_by_band:
                 raise ValueError(

@@ -304,6 +304,90 @@ def gps_l5_plan(
     )
 
 
+def qzss_l5_plan(
+    fs: float,
+    num_channels: int = 4,
+    doppler_max_hz: float = 4000.0,
+    doppler_step_hz: float = 250.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 30.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 5.0,
+    dll_bw_narrow_hz: float = 0.5,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    extend_correlation_symbols: int = 20,
+    search_prns: tuple = tuple(range(193, 203)),
+) -> SignalPlan:
+    """QZSS L5 (PRN 193-202): identical signal structure to GPS L5
+    (IS-QZSS-PNT follows IS-GPS-705 — NH20 pilot / NH10 x CNAV data),
+    with the QZSS XB-initial-state codes (reference
+    qzss_l5_signal_replica.cc, QZSS_L5i_PCPS_Acquisition /
+    QZSS_L5i_DLL_PLL_Tracking adapters)."""
+    from gnss_sdr_tpu.codes.gps_l5 import (
+        nh10_levels,
+        nh20_levels,
+        qzss_l5i_code,
+        qzss_l5q_code,
+    )
+    from gnss_sdr_tpu.constants import gps_l5 as L5
+    from gnss_sdr_tpu.telemetry.cnav import CnavDecoder
+
+    prns = list(search_prns)
+    pilot_table = np.stack([qzss_l5q_code(p) for p in prns]).astype(np.float32)
+    data_table = np.stack([qzss_l5i_code(p) for p in prns]).astype(np.float32)
+    return SignalPlan(
+        name="J5",
+        system="J",
+        band="L5",
+        num_channels=num_channels,
+        code_table=pilot_table,
+        table_rate_cps=L5.CODE_RATE_CPS,
+        carrier_freq_hz=L5.FREQ_HZ,
+        code_period_s=L5.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=L5.CODE_LENGTH_CHIPS,
+            code_rate_cps=L5.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=L5.CODE_LENGTH_CHIPS,
+            code_rate_cps=L5.CODE_RATE_CPS,
+            carrier_freq_hz=L5.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=extend_correlation_symbols,
+            codes_per_bit=L5.CODES_PER_SYMBOL,
+            track_pilot=True,
+            sec_len_pilot=20,
+            sec_len_data=10,
+            data_on_quadrature=True,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=CnavDecoder,
+        search_prns=tuple(prns),
+        prn_row=lambda prn: prn - 193,
+        data_code_table=data_table,
+        sec_pilot_table=np.tile(nh20_levels(), (pilot_table.shape[0], 1)),
+        sec_data_levels=nh10_levels(),
+        acq_code_table=data_table,
+    )
+
+
 def galileo_e5a_plan(
     fs: float,
     num_channels: int = 8,
