@@ -61,7 +61,7 @@ def kernel_bench() -> float:
 
     fs = 2.6e6
     channels = 32
-    steps = 50
+    steps = 200
     conf = DllPllConf(
         fs=fs,
         code_length_chips=1023,
@@ -97,18 +97,28 @@ def kernel_bench() -> float:
         new_state, outs = track_block(
             conf, st._replace(pos=pos0), dev_combine(window_ri), codes
         )
-        # keep outputs tiny on device; return only what forces the work
-        return new_state, outs.n_samples.astype(jnp.int32)
+        # one scalar that depends on the full per-step output set (forces
+        # every step's correlations AND survives as a cheap d2h barrier)
+        chk = (jnp.sum(outs.acc_prompt.real) + jnp.sum(outs.n_samples)
+               + jnp.sum(outs.carrier_doppler))
+        return new_state, chk
 
     run = jax.jit(run_once)
     st, n = run(state, window, codes, pos0)
-    jax.block_until_ready(n)
+    _ = np.asarray(n)
 
-    iters = 40
+    # CAUTION: jax.block_until_ready is NOT a reliable barrier on the axon
+    # TPU runtime (it can return before execution completes, inflating
+    # throughput by orders of magnitude — discovered round 4). A device->
+    # host fetch of a value that depends on the computation is the only
+    # trustworthy sync, so every iteration ends with a tiny d2h readback;
+    # its ~10-30 ms latency is real per-call overhead on this tunneled
+    # runtime and is charged to the measurement.
+    iters = 10
     t0 = time.perf_counter()
     for _ in range(iters):
         st, n = run(st, window, codes, pos0)      # rewind window pointer
-    st = jax.block_until_ready(st)
+        _ = np.asarray(n)                         # true barrier
     dt = time.perf_counter() - t0
     total_samples = iters * channels * steps * conf.samples_per_code
     return total_samples / dt / 1e6
@@ -131,7 +141,7 @@ def e2e_bench() -> tuple[float, float]:
     # (~60-200 ms per synchronization), so a handful of large device calls
     # per signal-second dominates e2e throughput (plans steps_per_block)
     rx = Receiver(ReceiverConfig(fs=fs, num_channels=6,
-                                 steps_per_block=500))
+                                 steps_per_block=500, int8_stream=True))
     # warmup second: compile acquisition + tracking programs
     rx.feed(chunks[0])
     rx.acquire()

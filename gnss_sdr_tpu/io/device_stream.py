@@ -27,6 +27,17 @@ def _roll_append(buf: jnp.ndarray, chunk: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([buf[n:], chunk])
 
 
+@jax.jit
+def _roll_append_i8(buf: jnp.ndarray, chunk_i8: jnp.ndarray,
+                    scale: jnp.ndarray) -> jnp.ndarray:
+    """Append an int8 [N, 2] chunk, widening on device (the int8 upload is
+    1/4 the bytes of the f32 re/im lanes — host->device bandwidth is a
+    first-order cost on a remote TPU link)."""
+    n = chunk_i8.shape[0]
+    widened = chunk_i8.astype(jnp.float32) * scale
+    return jnp.concatenate([buf[n:], widened])
+
+
 class DeviceStream:
     """Rolling [L, 2] f32 device buffer holding the last L stream samples.
 
@@ -43,12 +54,36 @@ class DeviceStream:
     def base(self) -> int:
         return self.end - self.length
 
-    def append(self, chunk: np.ndarray) -> None:
-        """Append one conditioned chunk (complex host array)."""
+    def append(self, chunk: np.ndarray, quantize_i8: bool = False) -> None:
+        """Append one conditioned chunk (complex host array).
+
+        ``quantize_i8``: ship the chunk as int8 I/Q and widen on device —
+        4x less host->device traffic; the quantization scale locks on the
+        first chunk's RMS (tracking is scale-invariant; a per-chunk scale
+        would amplitude-modulate the stream mid-block)."""
         n = len(chunk)
         if n == 0:
             return
-        ri = jnp.asarray(host_to_ri(np.asarray(chunk, np.complex64)))
+        chunk = np.asarray(chunk, np.complex64)
+        if quantize_i8:
+            if not hasattr(self, "_i8_scale"):
+                rms = float(np.sqrt(np.mean(np.abs(chunk) ** 2))) or 1.0
+                # +-4 sigma spans the int8 range
+                self._i8_scale = 4.0 * rms / 127.0
+            s = self._i8_scale
+            i8 = np.empty((n, 2), np.int8)
+            i8[:, 0] = np.clip(np.round(chunk.real / s), -127, 127)
+            i8[:, 1] = np.clip(np.round(chunk.imag / s), -127, 127)
+            if n >= self.length:
+                i8 = i8[-self.length:]
+                widened = jnp.asarray(i8).astype(jnp.float32) * s
+                self._buf = widened
+            else:
+                self._buf = _roll_append_i8(
+                    self._buf, jnp.asarray(i8), jnp.float32(s))
+            self.end += n
+            return
+        ri = jnp.asarray(host_to_ri(chunk))
         if n >= self.length:
             self._buf = ri[-self.length:]
         else:

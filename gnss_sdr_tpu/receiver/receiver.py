@@ -68,6 +68,9 @@ class ReceiverConfig:
     # position/velocity Kalman smoothing of the LS fixes (reference
     # Pvt.enable_pvt_kf -> pvt_kf.cc)
     enable_pvt_kf: bool = False
+    # ship stream chunks to the device as int8 I/Q and widen on-device
+    # (4x less h2d traffic; ~0.15 dB quantization loss at 4-sigma scaling)
+    int8_stream: bool = False
     # slew the rx clock back through observables once PVT's bias estimate
     # exceeds this (reference apply_rx_clock_offset, rtklib_pvt_gs.cc:1834);
     # <= 0 disables
@@ -268,7 +271,7 @@ class Receiver:
         chunk = np.asarray(chunk, dtype=np.complex64)
         self._bufs[b] = np.concatenate([self._bufs[b], chunk])
         self._stream_ends[b] += len(chunk)
-        self._dev_streams[b].append(chunk)
+        self._dev_streams[b].append(chunk, quantize_i8=self.cfg.int8_stream)
 
     def _slice(self, band: str, start: int, n: int) -> np.ndarray | None:
         if start < self._buf_bases[band] or start + n > self._stream_ends[band]:

@@ -25,6 +25,11 @@ class DllPllConf:
     early_late_spacing_chips: float = 0.5
     very_early_late_spacing_chips: float = 0.0   # > 0 enables VEML (5 taps, BOC)
     interp_code: bool = True                     # linear-interp code replica
+    # Pallas fused correlator (ops/correlator.py): None = auto (on for the
+    # TPU backend, off elsewhere — the XLA gather that it replaces is
+    # ~1000x slower on this TPU runtime but fine on CPU); FDMA plans keep
+    # the XLA path (f64 per-sample wipeoff phase)
+    pallas_correlator: bool | None = None
 
     # Loop bandwidths / orders (wide = before bit sync, narrow = after)
     pll_bw_hz: float = 35.0

@@ -151,14 +151,24 @@ class Tracker:
         )
         spec = self._spec
 
+        # per-step pack spec ([C]-batch): packing inside the scan step
+        # collapses ~24 stacked output buffers into one (same sorted-key
+        # lane layout as the [S, C]-batch spec used to unpack on host)
+        step_spec = make_spec(
+            {k: np.empty((1,) + tr, dt) for k, (tr, dt) in shapes.items()},
+            batch_ndim=1,
+        )
+
         def _track_packed(state, window_ri, codes, data_codes, sec_p, sec_d):
-            new_state, outs = track_block(
-                conf, state, dev_combine(window_ri), codes, data_codes,
-                sec_p, sec_d
+            from gnss_sdr_tpu.tracking.dll_pll import track_block_packed
+
+            new_state, packed = track_block_packed(
+                conf, step_spec, state, dev_combine(window_ri), codes,
+                data_codes, sec_p, sec_d
             )
             # raveled so the output buffer has a trivial layout (some remote
             # runtimes cannot transfer non-default-layout buffers)
-            return new_state, pack_tree(outs._asdict(), spec).ravel()
+            return new_state, packed.ravel()
 
         self.mesh = mesh
         if mesh is None:
