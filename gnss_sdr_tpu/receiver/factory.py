@@ -34,6 +34,7 @@ from gnss_sdr_tpu.io import (
     UdpSignalSource,
 )
 from gnss_sdr_tpu.outputs import (
+    AnPacketPrinter,
     GeoJsonPrinter,
     GpxPrinter,
     KmlPrinter,
@@ -428,15 +429,18 @@ class PvtOutputs:
     geojson: GeoJsonPrinter | None = None
     rinex_obs: RinexObsWriter | None = None
     rinex_nav: RinexNavWriter | None = None
+    an_packet: AnPacketPrinter | None = None
 
-    def print_position(self, sol) -> None:
+    def print_position(self, sol, sats: list | None = None) -> None:
         for w in (self.nmea, self.kml, self.gpx, self.geojson):
             if w is not None:
                 w.print_position(sol)
+        if self.an_packet is not None:
+            self.an_packet.print_solution(sol, sats or [])
 
     def close(self) -> None:
         for w in (self.nmea, self.kml, self.gpx, self.geojson,
-                  self.rinex_obs, self.rinex_nav):
+                  self.rinex_obs, self.rinex_nav, self.an_packet):
             if w is not None:
                 w.close()
 
@@ -459,6 +463,9 @@ def get_pvt_outputs(cfg: ConfigurationInterface, week: int = 0,
     if cfg.property(f"{role}.geojson_output_enabled", False):
         out.geojson = GeoJsonPrinter(
             cfg.property(f"{role}.geojson_dump_filename", "pvt.geojson"))
+    if cfg.property(f"{role}.an_output_enabled", False):
+        out.an_packet = AnPacketPrinter(
+            cfg.property(f"{role}.an_dump_devname", "an_packets.bin"))
     if cfg.property(f"{role}.rinex_output_enabled", False):
         out.rinex_obs = RinexObsWriter(
             cfg.property(f"{role}.rinex_obs_filename", "obs.rnx"), week=week)
