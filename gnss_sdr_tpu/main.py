@@ -194,6 +194,33 @@ def run_from_config(cfg, max_seconds: float | None = None):
     return receiver.status
 
 
+def apply_cli_flags(cfg, args) -> None:
+    """Command-line property overrides (reference gnss_sdr_flags.cc:24-65 +
+    the per-adapter FLAGS_* intake): selected receiver knobs override the
+    config file for every configured signal group."""
+    from gnss_sdr_tpu.receiver.factory import get_channel_counts
+
+    sigs = list(get_channel_counts(cfg))
+    per_signal = {
+        "doppler_max": ("Acquisition", args.doppler_max),
+        "doppler_step": ("Acquisition", args.doppler_step),
+        "pll_bw_hz": ("Tracking", args.pll_bw_hz),
+        "dll_bw_hz": ("Tracking", args.dll_bw_hz),
+        "extend_correlation_symbols": ("Tracking", args.extend_correlation_ms),
+    }
+    for prop, (role, value) in per_signal.items():
+        if value is None:
+            continue
+        for sig in sigs:
+            cfg.set_property(f"{role}_{sig}.{prop}", value)
+    if args.signal_source is not None:
+        cfg.set_property("SignalSource.filename", args.signal_source)
+    if args.s is not None:
+        cfg.set_property("SignalSource.filename", args.s)
+    if args.rinex_version is not None:
+        cfg.set_property("PVT.rinex_version", args.rinex_version)
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description="GNSS-SDR-TPU software receiver")
     ap.add_argument("-c", "--config_file", required=True,
@@ -203,11 +230,27 @@ def main(argv=None) -> int:
     ap.add_argument("--log_level", default="INFO",
                     help="logging severity (DEBUG/INFO/WARNING/ERROR)")
     ap.add_argument("--log_file", default=None)
+    # reference gnss_sdr_flags.cc property overrides
+    ap.add_argument("-s", help="capture file (same as --signal_source)")
+    ap.add_argument("--signal_source", default=None,
+                    help="override SignalSource.filename")
+    ap.add_argument("--doppler_max", type=int, default=None,
+                    help="override Acquisition_XX.doppler_max [Hz]")
+    ap.add_argument("--doppler_step", type=int, default=None,
+                    help="override Acquisition_XX.doppler_step [Hz]")
+    ap.add_argument("--pll_bw_hz", type=float, default=None,
+                    help="override Tracking_XX.pll_bw_hz")
+    ap.add_argument("--dll_bw_hz", type=float, default=None,
+                    help="override Tracking_XX.dll_bw_hz")
+    ap.add_argument("--extend_correlation_ms", type=int, default=None,
+                    help="override Tracking_XX.extend_correlation_symbols")
+    ap.add_argument("--RINEX_version", dest="rinex_version", default=None)
     args = ap.parse_args(argv)
     setup_logging(args.log_level, args.log_file)
 
     t0 = time.time()
     cfg = FileConfiguration(args.config_file)
+    apply_cli_flags(cfg, args)
     status = run_from_config(cfg, max_seconds=args.max_seconds)
     dt = time.time() - t0
     n_fix = len(status.fixes)

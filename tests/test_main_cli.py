@@ -55,3 +55,27 @@ PVT.implementation=RTKLIB_PVT
     for (_, prn), (dop, delay) in status.acquired.items():
         truth = scen.truth_at(prn, 0.0)
         assert abs(dop - truth["doppler_hz"]) < 300.0
+
+
+def test_cli_flag_overrides():
+    """Reference gnss_sdr_flags.cc analog: CLI flags override config
+    properties for every configured signal group."""
+    import argparse
+
+    from gnss_sdr_tpu.config.configuration import InMemoryConfiguration
+    from gnss_sdr_tpu.main import apply_cli_flags
+
+    ns = argparse.Namespace(
+        doppler_max=8000, doppler_step=125, pll_bw_hz=25.0, dll_bw_hz=1.5,
+        extend_correlation_ms=10, signal_source=None, s="/tmp/cap.dat",
+        rinex_version="3.02")
+    cfg = InMemoryConfiguration()
+    cfg.set_property("Channels_1C.count", "4")
+    cfg.set_property("Channels_1B.count", "2")
+    apply_cli_flags(cfg, ns)
+    assert cfg.property("Acquisition_1C.doppler_max", 0) == 8000
+    assert cfg.property("Acquisition_1B.doppler_max", 0) == 8000
+    assert cfg.property("Tracking_1C.extend_correlation_symbols", 0) == 10
+    assert cfg.property("Tracking_1B.dll_bw_hz", 0.0) == 1.5
+    assert cfg.property("SignalSource.filename", "") == "/tmp/cap.dat"
+    assert cfg.property("PVT.rinex_version", "") == "3.02"
