@@ -5,6 +5,7 @@ from gnss_sdr_tpu.acquisition.engines import (
     AssistedAcquisition,
     CccwsrAcquisition,
     FineDopplerAcquisition,
+    NoncoherentIQAcquisition,
     QuickSyncAcquisition,
     TongAcquisition,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "AssistedAcquisition",
     "CccwsrAcquisition",
     "FineDopplerAcquisition",
+    "NoncoherentIQAcquisition",
     "QuickSyncAcquisition",
     "TongAcquisition",
 ]

@@ -396,3 +396,89 @@ class AssistedAcquisition:
         res.doppler_hz = res.doppler_hz + self._offsets_np[
             np.asarray(prn_idx, np.int64)]
         return res
+
+
+class NoncoherentIQAcquisition:
+    """Noncoherent I/Q-combining acquisition for QPSK pilot+data signals
+    (galileo_e5a_noncoherent_iq_acquisition_caf_cc analog): correlates the
+    input against BOTH the data (I) and pilot (Q) primary codes and sums
+    the two magnitude-squared grids per (Doppler, lag) cell — capturing
+    the full signal power regardless of the unknown secondary-code/symbol
+    phases of either component.
+    """
+
+    def __init__(self, conf: AcqConfig, data_table: np.ndarray,
+                 pilot_table: np.ndarray, prns: list[int]) -> None:
+        self.conf = conf
+        self.prns = list(prns)
+        spc = conf.samples_per_code
+        self.fft_size = 1 << (2 * spc - 1).bit_length()
+        self.win = self.fft_size
+
+        def make_fft(tbl):
+            sampled = np.stack([
+                resample_code(tbl[p], conf.fs, conf.code_rate_cps, spc)
+                for p in range(tbl.shape[0])
+            ]).astype(np.float32)
+            pad = np.zeros((sampled.shape[0], self.fft_size - spc), np.float32)
+            return jax.device_put(host_to_ri(np.conj(
+                np.fft.fft(np.concatenate([sampled, pad], 1), axis=1)
+            ).astype(np.complex64)))
+
+        self._fft_i = make_fft(data_table)
+        self._fft_q = make_fft(pilot_table)
+        dop = conf.doppler_grid_hz()
+        self._doppler_hz = dop
+        self._dop = jax.device_put(dop.astype(np.float32))
+        # H0: sum of two independent Exp(1) cells -> chi^2(4)/2 ==
+        # the max_dwells=2 statistic of the standard engine
+        self.threshold = (conf.threshold if conf.threshold > 0 else
+                          threshold_from_pfa(replace(conf, max_dwells=2),
+                                             len(dop)))
+        self._jit = jax.jit(self._acquire)
+
+    def _acquire(self, x_ri, prn_idx, fft_i, fft_q, dop):
+        conf = self.conf
+        x = dev_combine(x_ri)
+        C = x.shape[0]
+        spc = conf.samples_per_code
+        n = jnp.arange(self.fft_size, dtype=jnp.float32)
+        phase = (-2.0 * jnp.pi / np.float32(conf.fs)) * dop[:, None] * n[None, :]
+        wipe = jax.lax.complex(jnp.cos(phase), jnp.sin(phase))
+        xw = x[:, None, :] * wipe[None, :, :]
+        xf = mxu_fft(xw)
+        ci = dev_combine(fft_i)[prn_idx][:, None, :]
+        cq = dev_combine(fft_q)[prn_idx][:, None, :]
+        gi = jnp.abs(mxu_ifft(xf * ci).astype(jnp.complex64)[..., :spc]) ** 2
+        gq = jnp.abs(mxu_ifft(xf * cq).astype(jnp.complex64)[..., :spc]) ** 2
+        mag = gi + gq
+        flat = mag.reshape(C, -1)
+        idx = jnp.argmax(flat, axis=1)
+        val = jnp.take_along_axis(flat, idx[:, None], axis=1)[:, 0]
+        d_i = idx // spc
+        lag = (idx % spc).astype(jnp.int32)
+        power = jnp.mean(jnp.abs(x) ** 2, axis=1)
+        return val, dop[d_i], lag, power
+
+    def acquire(self, x, prn_idx) -> AcqResults:
+        x = np.asarray(x, dtype=np.complex64)[:, : self.win]
+        if x.shape[1] < self.win:
+            x = np.pad(x, ((0, 0), (0, self.win - x.shape[1])))
+        val, dop, lag, power = self._jit(
+            jnp.asarray(host_to_ri(x)),
+            jnp.asarray(np.asarray(prn_idx, np.int32)),
+            self._fft_i, self._fft_q, self._dop)
+        val_np = fetch(val).astype(np.float64)
+        power_np = fetch(power).astype(np.float64)
+        # per-code-correlation normalization; /2 folds the two-cell sum
+        # into the per-dwell-average convention of threshold_from_pfa
+        norm = power_np * self.conf.samples_per_code * 2.0
+        stat = val_np / np.maximum(norm, 1e-30)
+        return AcqResults(
+            detected=stat > self.threshold,
+            test_statistic=stat,
+            delay_samples=fetch(lag).astype(np.float64),
+            doppler_hz=fetch(dop).astype(np.float64),
+            input_power=power_np,
+            threshold=self.threshold,
+        )

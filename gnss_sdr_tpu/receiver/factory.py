@@ -339,6 +339,7 @@ _ACQ_ENGINE_BY_IMPL = {
     "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition": "tong",
     "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition": "quicksync",
     "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition": "cccwsr",
+    "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF": "noncoh_iq",
 }
 
 

@@ -126,6 +126,13 @@ class SignalGroup:
 
             chips = params.pop("chips_table")
             self.acq = CccwsrAcquisition(plan.acq_conf, chips, prns, **params)
+        elif plan.acq_engine == "noncoh_iq":
+            from gnss_sdr_tpu.acquisition import NoncoherentIQAcquisition
+
+            # data (I) table is the acquisition table, pilot (Q) is the
+            # tracking table on pilot plans
+            self.acq = NoncoherentIQAcquisition(
+                plan.acq_conf, acq_table, plan.code_table, prns, **params)
         else:
             raise ValueError(f"unknown acq_engine {plan.acq_engine!r}")
         self.tracker = Tracker(

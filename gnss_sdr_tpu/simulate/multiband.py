@@ -154,9 +154,11 @@ class GpsL5Band(_SecondaryBand):
         super().__init__(primary, fs, cn0_dbhz, noise)
 
     def _group_delay_shift(self, prn: int) -> float:
-        # primary grid = t_tx_sv - TGD; L5 timeline = t_tx_sv - gamma*TGD
+        # band timelines subtract the shift from the RAW SV timeline
+        # (geo["ttx_sv"], before the primary's own TGD):
+        # L5 timeline = t_tx_sv - gamma * TGD (IS-GPS-200 20.3.3.3.3.2)
         tgd = self.primary.ephs[prn].tgd
-        return tgd - GAMMA_L5 * tgd
+        return GAMMA_L5 * tgd
 
     def _build_symbols(self) -> None:
         from gnss_sdr_tpu.telemetry.cnav import CnavEncoder, MSG_SECONDS
@@ -206,10 +208,10 @@ class GalileoE5aBand(_SecondaryBand):
         super().__init__(primary, fs, cn0_dbhz, noise)
 
     def _group_delay_shift(self, prn: int) -> float:
-        # primary grid = t_tx_sv - BGD(E1,E5b);
-        # E5a timeline = t_tx_sv - gamma * BGD(E1,E5a)
+        # shift from the RAW SV timeline:
+        # E5a timeline = t_tx_sv - gamma_E5a * BGD(E1,E5a) (Galileo ICD 5.1.5)
         eph = self.primary.ephs[prn]
-        return eph.bgd_e1e5b - GAMMA_E5A * eph.bgd_e1e5a
+        return GAMMA_E5A * eph.bgd_e1e5a
 
     def _build_symbols(self) -> None:
         from gnss_sdr_tpu.telemetry.fnav import FnavEncoder, PAGE_SECONDS
@@ -271,12 +273,12 @@ class GalileoE5bBand(_SecondaryBand):
         super().__init__(primary, fs, cn0_dbhz, noise, seed_offset=79)
 
     def _group_delay_shift(self, prn: int) -> float:
-        # primary grid = t_tx_sv - BGD(E1,E5b); E5b timeline =
+        # shift from the RAW SV timeline: E5b timeline =
         # t_tx_sv - gamma_E5b * BGD(E1,E5b) (ICD eq. 15 broadcast-group-
         # delay scaling between E1 and E5b)
         gamma = (L1_HZ / self.freq_hz) ** 2
         eph = self.primary.ephs[prn]
-        return eph.bgd_e1e5b - gamma * eph.bgd_e1e5b
+        return gamma * eph.bgd_e1e5b
 
     def _build_symbols(self) -> None:
         self._tow0 = self.primary._tow0
@@ -326,10 +328,10 @@ class GpsL2Band(_SecondaryBand):
                          noise, seed_offset=81)
 
     def _group_delay_shift(self, prn: int) -> float:
-        # primary grid = t_tx_sv - TGD; L2 timeline = t_tx_sv - gamma*TGD
+        # shift from the RAW SV timeline: L2 timeline = t_tx_sv - gamma*TGD
         gamma = (L1_HZ / self.freq_hz) ** 2
         tgd = self.primary.ephs[prn].tgd
-        return tgd - gamma * tgd
+        return gamma * tgd
 
     def _build_symbols(self) -> None:
         from gnss_sdr_tpu.telemetry.cnav import CnavEncoder

@@ -159,3 +159,40 @@ def test_assisted_narrow_window():
     assert abs(res.doppler_hz[0] - true_dop) <= conf.doppler_step_hz
     # the narrow grid is ~9 bins vs 81 for the full search
     assert len(eng.inner.conf.doppler_grid_hz()) < 12
+
+
+def test_noncoherent_iq_e5a():
+    """Noncoherent I+Q combining captures the full QPSK power without
+    knowing either component's secondary phase (reference
+    galileo_e5a_noncoherent_iq_acquisition_caf_cc)."""
+    from gnss_sdr_tpu.acquisition import NoncoherentIQAcquisition
+    from gnss_sdr_tpu.codes.galileo_e5a import (
+        galileo_e5ai_code,
+        galileo_e5aq_code,
+    )
+    from gnss_sdr_tpu.constants import galileo_e5a as E5A
+
+    fs = 12.0e6
+    conf = AcqConfig(
+        fs=fs,
+        code_length_chips=E5A.CODE_LENGTH_CHIPS,
+        code_rate_cps=E5A.CODE_RATE_CPS,
+        doppler_max_hz=3000.0,
+        doppler_step_hz=250.0,
+        pfa=1e-3,
+    )
+    prns = list(range(1, 9))
+    data = np.stack([galileo_e5ai_code(p) for p in prns]).astype(np.float32)
+    pilot = np.stack([galileo_e5aq_code(p) for p in prns]).astype(np.float32)
+    eng = NoncoherentIQAcquisition(conf, data, pilot, prns)
+
+    sats = [SatelliteSignalParams(prn=4, system="E", signal="5X",
+                                  cn0_dbhz=49.0, doppler_hz=-1200.0,
+                                  delay_chips=4000.5)]
+    x = generate_baseband(sats, fs, eng.win, seed=21)
+    xb = np.stack([x, x])  # PRN4 present, PRN7 absent
+    res = eng.acquire(xb, np.array([3, 6]))
+    assert res.detected[0]
+    assert not res.detected[1]
+    assert abs(res.doppler_hz[0] - (-1200.0)) <= conf.doppler_step_hz
+    assert abs(res.delay_samples[0] - 4000.5 * fs / E5A.CODE_RATE_CPS) <= 2.0
