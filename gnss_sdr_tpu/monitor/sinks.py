@@ -119,3 +119,24 @@ class MonitorEphemerisUdpSink:
 
     def close(self) -> None:
         self._out.close()
+
+
+class NavMessageMonitor:
+    """Decoded navigation-message events as JSON datagrams (reference
+    core/libs/nav_message_monitor.cc + nav_message_packet.h: system,
+    signal, PRN, TOW and the decoder event payload, consumed by
+    utils/nav-listener)."""
+
+    def __init__(self, clients: list[tuple[str, int]]) -> None:
+        self._out = _UdpFanout(clients)
+
+    def push(self, system: str, signal: str, prn: int, event: dict) -> None:
+        d = {"_type": "nav_message", "system": system, "signal": signal,
+             "prn": int(prn)}
+        for k, v in event.items():
+            if isinstance(v, (int, float, str, bool)) or v is None:
+                d[k] = v
+        self._out.send(json.dumps(d, separators=(",", ":")).encode())
+
+    def close(self) -> None:
+        self._out.close()

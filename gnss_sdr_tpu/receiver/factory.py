@@ -481,7 +481,7 @@ def get_channel_counts(cfg: ConfigurationInterface) -> dict[str, int]:
     gnss_block_factory.cc GetChannels grouping)."""
     out = {}
     for sig in ("1C", "1B", "2S", "L5", "5X", "7X", "E6", "1G", "2G",
-                "B1", "B1G", "B3", "J1", "J5", "SBAS"):
+                "B1", "B1G", "B3", "B3G", "J1", "J5", "SBAS"):
         n = cfg.property(f"Channels_{sig}.count", 0)
         if n:
             out[sig] = n
@@ -550,6 +550,11 @@ _PLAN_TABLE = {
         {"BEIDOU_B3I_DLL_PLL_Tracking"},
         "beidou_b3i_plan",
     ),
+    "B3G": (
+        {"BEIDOU_B3I_PCPS_Acquisition"},
+        {"BEIDOU_B3I_DLL_PLL_Tracking"},
+        "beidou_b3i_geo_plan",
+    ),
     "1G": (
         {"GLONASS_L1_CA_PCPS_Acquisition"},
         {"GLONASS_L1_CA_DLL_PLL_Tracking",
@@ -595,6 +600,7 @@ _DEFAULT_IMPLS = {
     "7X": ("Galileo_E5b_PCPS_Acquisition", "Galileo_E5b_DLL_PLL_Tracking"),
     "2S": ("GPS_L2_M_PCPS_Acquisition", "GPS_L2_M_DLL_PLL_Tracking"),
     "B3": ("BEIDOU_B3I_PCPS_Acquisition", "BEIDOU_B3I_DLL_PLL_Tracking"),
+    "B3G": ("BEIDOU_B3I_PCPS_Acquisition", "BEIDOU_B3I_DLL_PLL_Tracking"),
     "1G": ("GLONASS_L1_CA_PCPS_Acquisition",
            "GLONASS_L1_CA_DLL_PLL_Tracking"),
     "J1": ("QZSS_L1_PCPS_Acquisition", "QZSS_L1_CA_DLL_PLL_Tracking"),
@@ -712,8 +718,9 @@ def get_signal_plans(cfg: ConfigurationInterface,
     for sig, n in counts.items():
         band = {"1C": "L1", "1B": "L1", "L5": "L5", "5X": "L5",
                 "B1": "B1", "B1G": "B1", "7X": "E5b", "2S": "L2",
-                "B3": "B3", "1G": "G1", "J1": "L1", "J5": "L5",
-                "SBAS": "L1", "E6": "E6", "2G": "G2"}.get(sig, "L1")
+                "B3": "B3", "B3G": "B3", "1G": "G1", "J1": "L1",
+                "J5": "L5", "SBAS": "L1", "E6": "E6",
+                "2G": "G2"}.get(sig, "L1")
         if isinstance(fs_by_band, dict):
             if band not in fs_by_band:
                 raise ValueError(

@@ -798,6 +798,73 @@ def gps_l2c_plan(
     )
 
 
+def beidou_b3i_geo_plan(
+    fs: float,
+    num_channels: int = 4,
+    doppler_max_hz: float = 3000.0,
+    doppler_step_hz: float = 125.0,
+    acq_dwells: int = 2,
+    acq_pfa: float = 1e-3,
+    pll_bw_hz: float = 25.0,
+    dll_bw_hz: float = 2.0,
+    pll_bw_narrow_hz: float = 5.0,
+    dll_bw_narrow_hz: float = 0.5,
+    enable_fll_pull_in: bool = True,
+    fll_bw_hz: float = 4.0,
+    pull_in_time_s: float = 0.25,
+    search_prns: tuple = (1, 2, 3, 4, 5),
+) -> SignalPlan:
+    """BeiDou B3I GEO (D2 NAV at 500 bps, no NH secondary) — the B3-band
+    twin of beidou_b1i_geo_plan (beidou_b3i_telemetry_decoder_gs GEO
+    branch)."""
+    from gnss_sdr_tpu.codes.beidou_b3i import beidou_b3i_code_table
+    from gnss_sdr_tpu.constants import beidou_b3i as B3
+    from gnss_sdr_tpu.telemetry.dnav_d2 import D2Decoder
+
+    table = beidou_b3i_code_table()
+    return SignalPlan(
+        name="B3G",
+        system="C",
+        band="B3",
+        num_channels=num_channels,
+        code_table=table,
+        table_rate_cps=B3.CODE_RATE_CPS,
+        carrier_freq_hz=B3.FREQ_HZ,
+        code_period_s=B3.CODE_PERIOD_S,
+        acq_conf=AcqConfig(
+            fs=fs,
+            code_length_chips=B3.CODE_LENGTH_CHIPS,
+            code_rate_cps=B3.CODE_RATE_CPS,
+            doppler_max_hz=doppler_max_hz,
+            doppler_step_hz=doppler_step_hz,
+            max_dwells=acq_dwells,
+            bit_transition_flag=True,
+            pfa=acq_pfa,
+        ),
+        trk_conf=DllPllConf(
+            fs=fs,
+            code_length_chips=B3.CODE_LENGTH_CHIPS,
+            code_rate_cps=B3.CODE_RATE_CPS,
+            carrier_freq_hz=B3.FREQ_HZ,
+            pll_bw_hz=pll_bw_hz,
+            dll_bw_hz=dll_bw_hz,
+            pll_bw_narrow_hz=pll_bw_narrow_hz,
+            dll_bw_narrow_hz=dll_bw_narrow_hz,
+            enable_fll_pull_in=enable_fll_pull_in,
+            fll_bw_hz=fll_bw_hz,
+            pull_in_time_s=pull_in_time_s,
+            extend_correlation_symbols=2,
+            codes_per_bit=2,
+            bit_sync_delay_s=0.3,
+            steps_per_block=20,
+            max_channels=num_channels,
+        ),
+        make_decoder=D2Decoder,
+        search_prns=search_prns,
+        acq_code_table=table,
+    )
+
+
 def beidou_b3i_plan(
     fs: float,
     num_channels: int = 8,
