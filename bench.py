@@ -131,7 +131,7 @@ def e2e_bench() -> tuple[float, float]:
     from gnss_sdr_tpu.simulate.scenario import GpsScenario, ScenarioConfig
 
     fs = 2.6e6
-    dur = 6
+    dur = 8
     scen = GpsScenario(ScenarioConfig(
         fs=fs, tow_start_s=7314.0, duration_s=float(dur), cn0_dbhz=46.0,
         max_sats=6, seed=1,
@@ -140,18 +140,22 @@ def e2e_bench() -> tuple[float, float]:
     # 500 ms tracking blocks: the remote-TPU link is round-trip bound
     # (~60-200 ms per synchronization), so a handful of large device calls
     # per signal-second dominates e2e throughput (plans steps_per_block)
+    # 1 s tracking blocks: the remote-TPU link is round-trip bound, so
+    # one device call + one fetch per signal-second maximizes throughput
     rx = Receiver(ReceiverConfig(fs=fs, num_channels=6,
-                                 steps_per_block=500, int8_stream=True))
-    # warmup second: compile acquisition + tracking programs
+                                 steps_per_block=1000, int8_stream=True))
+    # warmup: feed two seconds (a 1 s tracking block needs > 1 s buffered)
+    # so acquisition + tracking programs compile outside the timed region
     rx.feed(chunks[0])
+    rx.feed(chunks[1])
     rx.acquire()
     rx.run()
     t0 = time.perf_counter()
-    for i in range(1, dur):
+    for i in range(2, dur):
         rx.feed(chunks[i])
         rx.run()
     dt = time.perf_counter() - t0
-    samples = (dur - 1) * fs
+    samples = (dur - 2) * fs
     return samples / dt / 1e6, (samples / fs) / dt
 
 
