@@ -113,12 +113,41 @@ def make_correlator(
 
         cph = rem + step * k                        # chips
 
+        # stacking all (tap, interp-position) phases into one big tensor
+        # amortizes the Q-row gather set (the VPU is issue-bound on small
+        # tiles), but its VMEM footprint scales with 3*T*rows — long
+        # windows (E1 at 8 Msps: 251 rows) must fall back to per-tap
+        # processing or the kernel blows the 16 MB scoped-VMEM limit
+        stack_ok = 3 * t * rows <= 192
+
+        def tap_single(code_block, off):
+            # row-chunked: the Q-row gather loop's live buffers scale with
+            # chunk_rows * Q — chunking keeps long windows (E1/L5) inside
+            # the 16 MB scoped-VMEM budget
+            chunk = max(8, min(rows, 2048 // max(q_rows, 1)))
+            re_acc = jnp.float32(0.0)
+            im_acc = jnp.float32(0.0)
+            for r0 in range(0, rows, chunk):
+                r1 = min(r0 + chunk, rows)
+                tap_ph = cph[r0:r1] + off
+                c0, ph_floor = _replica(code_block, tap_ph)
+                if interp_code:
+                    cm, _ = _replica(code_block, tap_ph - 1.0)
+                    cp, _ = _replica(code_block, tap_ph + 1.0)
+                    frac = tap_ph - ph_floor
+                    ramp_in = jnp.clip(frac / step + 0.5, 0.0, 1.0)
+                    ramp_out = jnp.clip((frac - 1.0) / step + 0.5, 0.0, 1.0)
+                    ctap = (cm + (c0 - cm) * ramp_in
+                            + (cp - c0) * ramp_out)
+                else:
+                    ctap = c0
+                re_acc = re_acc + jnp.sum(wr[r0:r1] * ctap)
+                im_acc = im_acc + jnp.sum(wi[r0:r1] * ctap)
+            return re_acc, im_acc
+
         def multi_corr(code_block, offsets_list):
-            """Correlations for several tap offsets in one batched gather:
-            all (tap, interp-position) code phases stack into one
-            [P*rows, 128] tensor, so the Q-row gather set runs once on a
-            large tile instead of 3*len(offsets) times on small ones (the
-            VPU is issue-bound here, not element-bound)."""
+            if not stack_ok:
+                return [tap_single(code_block, off) for off in offsets_list]
             nt = len(offsets_list)
             tap_ph = jnp.concatenate(
                 [cph + off for off in offsets_list], axis=0)  # [nt*rows,128]
