@@ -14,6 +14,8 @@ from gnss_sdr_tpu.io.sources import (
     GeneratorSignalSource,
     MultichannelFileSignalSource,
     SignalSource,
+    TimestampedFileSignalSource,
+    TimeTag,
     UdpSignalSource,
     Valve,
 )
@@ -32,6 +34,8 @@ __all__ = [
     "MultichannelFileSignalSource",
     "RtlTcpSignalSource",
     "SignalSource",
+    "TimeTag",
+    "TimestampedFileSignalSource",
     "UdpSignalSource",
     "Valve",
     "ZmqSignalSource",

@@ -266,3 +266,74 @@ class Valve:
         if self.passed >= self.total_samples:
             self.done = True
         return out
+
+
+@dataclass
+class TimeTag:
+    """Absolute GPS time tag attached at a stream sample index
+    (Gnss_Sdr_Timestamp record: libs/gnss_sdr_timestamp.cc:52-64)."""
+
+    sample_index: int
+    week: int
+    tow_ms: int
+    tow_ms_fraction: float = 0.0
+
+
+class TimestampedFileSignalSource(FileSignalSource):
+    """File source paired with a binary timetag metadata file
+    (File_Timestamp_Signal_Source analog,
+    adapters/file_timestamp_signal_source.cc:37-38 +
+    libs/gnss_sdr_timestamp.cc).
+
+    The timetag file is a sequence of packed little-endian records
+    ``(uint64 samplecount, int32 week, int32 tow_ms)``; samplecount is in
+    *file items* and converts to stream samples via ``items_to_samples``
+    (2 items/sample for interleaved real formats, matching the reference's
+    bytes-to-samples handling). ``clock_offset_ms`` shifts UTC-stamped tags
+    onto GPS time; the integer part lands in ``tow_ms`` and the remainder in
+    ``tow_ms_fraction`` (gnss_sdr_timestamp.cc:37,119-121).
+
+    ``timetag_for(sample_index)`` returns the most recent tag at or before the
+    absolute sample index, re-anchored to that index, so observables can pin
+    the receiver clock to absolute GPS time.
+    """
+
+    def __init__(self, meta: FileMeta, timestamp_path: str,
+                 clock_offset_ms: float = 0.0,
+                 items_to_samples: float = 1.0) -> None:
+        super().__init__(meta)
+        self._tags: list[TimeTag] = []
+        int_ms = int(clock_offset_ms // 1)
+        frac_ms = clock_offset_ms - int_ms
+        rec = np.dtype([("count", "<u8"), ("week", "<i4"), ("tow_ms", "<i4")])
+        raw = np.fromfile(timestamp_path, dtype=rec)
+        for r in raw:
+            self._tags.append(TimeTag(
+                sample_index=int(r["count"] / items_to_samples),
+                week=int(r["week"]),
+                tow_ms=int(r["tow_ms"]) + int_ms,
+                tow_ms_fraction=frac_ms,
+            ))
+
+    def timetag_for(self, sample_index: int) -> TimeTag | None:
+        """Latest tag at/before ``sample_index``, advanced to it at fs."""
+        best = None
+        for t in self._tags:
+            if t.sample_index <= sample_index:
+                best = t
+            else:
+                break
+        if best is None:
+            return None
+        dt_ms = (sample_index - best.sample_index) / self.fs * 1e3
+        whole = int(dt_ms)
+        frac = best.tow_ms_fraction + (dt_ms - whole)
+        if frac >= 1.0:
+            whole += 1
+            frac -= 1.0
+        tow = best.tow_ms + whole
+        week = best.week
+        if tow >= 604_800_000:
+            tow -= 604_800_000
+            week += 1
+        return TimeTag(sample_index, week, tow, frac)

@@ -128,6 +128,16 @@ def run_from_config(cfg, max_seconds: float | None = None):
             receiver, port=cfg.property("GNSS-SDR.telecommand_tcp_port", 3333)
         )
 
+    # periodic channel-status console table
+    # (channel_status_msg_receiver analog)
+    status_display = None
+    status_rate_ms = cfg.property("PVT.display_rate_ms", 0)
+    if cfg.property("GNSS-SDR.print_channel_status", False) or status_rate_ms:
+        from gnss_sdr_tpu.monitor.status import ChannelStatusDisplay
+
+        status_display = ChannelStatusDisplay(
+            rate_s=(status_rate_ms or 2000) / 1000.0)
+
     chunk = 1 << 17
     acq_done = False
     reacq_t = 0.0
@@ -180,6 +190,8 @@ def run_from_config(cfg, max_seconds: float | None = None):
         for sol in receiver.status.fixes[printed:]:
             outputs.print_position(sol)
         printed = len(receiver.status.fixes)
+        if status_display is not None:
+            status_display.tick(receiver, stream_t())
     if assist_xml:
         from gnss_sdr_tpu.receiver.assistance import save_assistance
 

@@ -7,6 +7,10 @@ from gnss_sdr_tpu.monitor.sinks import (
     decode_monitor_pvt,
     encode_monitor_pvt,
 )
+from gnss_sdr_tpu.monitor.status import (
+    ChannelStatusDisplay,
+    render_channel_status,
+)
 from gnss_sdr_tpu.monitor.synchro import (
     GnssSynchro,
     decode_synchro,
@@ -15,7 +19,9 @@ from gnss_sdr_tpu.monitor.synchro import (
 )
 
 __all__ = [
+    "ChannelStatusDisplay",
     "GnssSynchro",
+    "render_channel_status",
     "GnssSynchroMonitor",
     "MonitorEphemerisUdpSink",
     "MonitorPvtUdpSink",

@@ -92,3 +92,34 @@ def load_assistance(path: str | Path) -> dict:
     log.info("assistance loaded: %d ephemerides from %s",
              len(out["ephemerides"]), path)
     return out
+
+
+# -------------------------------------------------- observables map XML
+def save_gnss_synchro_map_xml(path: str | Path, synchro_map: dict) -> None:
+    """Persist one epoch's per-channel GnssSynchro map to XML.
+
+    Reference analog: rtklib_pvt_gs save_gnss_synchro_map_xml
+    (rtklib_pvt_gs.cc:1716) — a boost::serialization dump of the
+    observables map, used to can epochs for offline solver tests.
+    ``synchro_map`` is {channel_id: GnssSynchro}.
+    """
+    root = ET.Element("gnss_synchro_map", version="1")
+    for ch, s in sorted(synchro_map.items()):
+        el = _obj_to_elem("synchro", s)
+        el.set("channel", str(ch))
+        root.append(el)
+    ET.ElementTree(root).write(path, encoding="unicode")
+    log.info("saved %d GnssSynchro records to %s", len(synchro_map), path)
+
+
+def load_gnss_synchro_map_xml(path: str | Path) -> dict:
+    """Reload a canned observables epoch
+    (rtklib_pvt_gs.cc:1758 load_gnss_synchro_map_xml analog)."""
+    from gnss_sdr_tpu.monitor.synchro import GnssSynchro
+
+    root = ET.parse(path).getroot()
+    out = {}
+    for el in root.iter("synchro"):
+        s = _elem_to_obj(el, GnssSynchro)
+        out[int(el.get("channel", s.channel_id))] = s
+    return out

@@ -192,3 +192,57 @@ def test_agnss_server_round_trip(tmp_path):
     assert len(got) == len(ephs)
     assert abs(got[("G", 7)].sqrt_a - ephs[7].sqrt_a) < 1e-9
     assert abs(got[("G", 7)].m0 - ephs[7].m0) < 1e-12
+
+
+def test_channel_status_display(capsys):
+    """channel_status_msg_receiver analog: per-channel console table with
+    signal, PRN, FSM state, C/N0 and Doppler."""
+    from gnss_sdr_tpu.monitor.status import (
+        ChannelStatusDisplay,
+        render_channel_status,
+    )
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+
+    rx = Receiver(ReceiverConfig(fs=2.6e6, num_channels=2))
+    rx.groups[0].channel_prn[0] = 7
+    rx.groups[0].tracker.ctl[0].cn0_dbhz = 43.2
+    text = render_channel_status(rx)
+    assert "PRN" in text and "GPS_L1_CA" in text.replace(" ", "_") or "1C" in text
+    assert "43.2" in text
+    assert "IDLE" in text
+
+    disp = ChannelStatusDisplay(rate_s=1.0)
+    disp.tick(rx, 0.5)            # before first deadline: nothing
+    assert capsys.readouterr().out == ""
+    disp.tick(rx, 1.5)
+    out = capsys.readouterr().out
+    assert "channel status" in out and "43.2" in out
+    disp.tick(rx, 1.6)            # inside holdoff: nothing
+    assert capsys.readouterr().out == ""
+
+
+def test_gnss_synchro_map_xml_round_trip(tmp_path):
+    """rtklib_pvt_gs.cc:1716,1758 analog: can an observables epoch to XML
+    and reload it bit-for-bit (within float repr) for offline solver runs."""
+    from gnss_sdr_tpu.monitor.synchro import GnssSynchro
+    from gnss_sdr_tpu.receiver.assistance import (
+        load_gnss_synchro_map_xml,
+        save_gnss_synchro_map_xml,
+    )
+
+    m = {
+        0: GnssSynchro(system="G", signal="1C", prn=12, channel_id=0,
+                       pseudorange_m=21_234_567.89, cn0_db_hz=44.5,
+                       carrier_doppler_hz=-1234.5, flag_valid_pseudorange=True,
+                       tow_at_current_symbol_ms=345_600_000),
+        3: GnssSynchro(system="E", signal="1B", prn=5, channel_id=3,
+                       pseudorange_m=24_111_222.33, rx_time_s=12.34),
+    }
+    p = tmp_path / "epoch.xml"
+    save_gnss_synchro_map_xml(p, m)
+    back = load_gnss_synchro_map_xml(p)
+    assert set(back) == {0, 3}
+    assert back[0].prn == 12 and back[0].flag_valid_pseudorange is True
+    assert back[0].pseudorange_m == pytest.approx(21_234_567.89)
+    assert back[3].system == "E" and back[3].signal == "1B"
+    assert back[3].rx_time_s == pytest.approx(12.34)

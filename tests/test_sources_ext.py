@@ -270,3 +270,47 @@ def test_factory_new_source_strings(tmp_path):
     assert isinstance(src, GeneratorSignalSource)
     y = src.read(10000)
     assert len(y) == 10000 and np.std(y.real) > 0.5
+
+
+# ------------------------------------------------- timestamped file source
+def test_timestamped_file_source(tmp_path):
+    """File_Timestamp_Signal_Source analog: binary timetag records
+    (uint64 item count, int32 week, int32 tow_ms) attach absolute GPS time
+    to stream sample indices (gnss_sdr_timestamp.cc:52-64,119-121)."""
+    fs = 1000.0
+    x = (np.arange(4000) % 7 - 3).astype(np.int16)  # 2000 ishort samples
+    data = tmp_path / "cap.dat"
+    x.tofile(data)
+    # tags at item 0 and item 2000 (= sample 1000): 1 s apart at fs=1 kHz
+    ts = tmp_path / "cap.ts"
+    with open(ts, "wb") as f:
+        f.write(struct.pack("<QiI", 0, 2200, 432_000_000))
+        f.write(struct.pack("<QiI", 2000, 2200, 432_001_000))
+
+    cfg = InMemoryConfiguration()
+    cfg.set_property("SignalSource.implementation", "File_Timestamp_Signal_Source")
+    cfg.set_property("SignalSource.filename", str(data))
+    cfg.set_property("SignalSource.timestamp_filename", str(ts))
+    cfg.set_property("SignalSource.item_type", "ishort")
+    cfg.set_property("SignalSource.sampling_frequency", fs)
+    cfg.set_property("SignalSource.timestamp_clock_offset_ms", 18.5)
+    src = get_signal_source(cfg)
+
+    chunk = src.read(2000)
+    assert len(chunk) == 2000
+
+    t0 = src.timetag_for(0)
+    assert (t0.week, t0.tow_ms) == (2200, 432_000_018)
+    assert t0.tow_ms_fraction == pytest.approx(0.5)
+    # 500 samples after the first tag = +500 ms
+    t = src.timetag_for(500)
+    assert t.tow_ms == 432_000_518
+    # past the second tag: re-anchored, not extrapolated from the first
+    t = src.timetag_for(1250)
+    assert t.tow_ms == 432_001_018 + 250
+    # week rollover arithmetic
+    src2 = src
+    src2._tags[0].tow_ms = 604_799_990
+    src2._tags = src2._tags[:1]
+    t = src2.timetag_for(20)
+    assert (t.week, t.tow_ms) == (2201, 10)
