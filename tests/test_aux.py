@@ -246,3 +246,28 @@ def test_gnss_synchro_map_xml_round_trip(tmp_path):
     assert back[0].pseudorange_m == pytest.approx(21_234_567.89)
     assert back[3].system == "E" and back[3].signal == "1B"
     assert back[3].rx_time_s == pytest.approx(12.34)
+
+
+def test_skyplot_tool(tmp_path, capsys):
+    """utils/skyplot analog: az/el from propagated ephemerides rendered as
+    ASCII + SVG skyplot."""
+    import sys
+    sys.path.insert(0, ".")
+    from tools.skyplot import main as skyplot_main
+
+    ephs = make_constellation(seed=2)
+    store = {("G", p): e for p, e in list(ephs.items())[:8]}
+    path = tmp_path / "assist.xml"
+    save_assistance(path, store)
+    svg = tmp_path / "sky.svg"
+    rc = skyplot_main([
+        "--assistance", str(path), "--lat", "41.27", "--lon", "1.99",
+        "--h", "80", "--tow", "7314", "--out", str(svg),
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "az" in out and "el" in out
+    text = svg.read_text()
+    assert text.startswith("<svg") and "circle" in text
+    # at least one satellite of 8 random-plane ephemerides is visible
+    assert any(f"G{p:02d}" in text for p in list(ephs)[:8])

@@ -43,10 +43,22 @@ def test_unbacked_impl_string_rejected():
 
     cfg = InMemoryConfiguration({
         "Channels_1C.count": 2,
-        "Tracking_1C.implementation": "GPS_L1_CA_KF_Tracking",
+        # a string the factory has no engine for must be rejected loudly,
+        # not silently mapped to a default (gnss_block_factory.cc errors
+        # on unknown implementation names the same way)
+        "Tracking_1C.implementation": "GPS_L1_CA_Quantum_Tracking",
     })
     with pytest.raises(UnknownImplementation):
         get_signal_plans(cfg, FS)
+
+    # GPS_L1_CA_KF_Tracking gained a real engine in round 4 and must now
+    # be accepted (tracking/gaussian.py KF engine)
+    cfg2 = InMemoryConfiguration({
+        "Channels_1C.count": 2,
+        "Tracking_1C.implementation": "GPS_L1_CA_KF_Tracking",
+    })
+    plans = get_signal_plans(cfg2, FS)
+    assert plans and plans[0].name == "1C"
 
 
 def test_config_driven_dual_constellation_fix(tmp_path):
