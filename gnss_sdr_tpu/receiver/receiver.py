@@ -315,18 +315,50 @@ class Receiver:
         prns = [p for p in plan.search_prns if p not in g.channel_prn]
         if not prns:
             return {}
-        xb = np.broadcast_to(x, (len(prns), n))
-        res = g.acq.acquire(xb, np.array([plan.prn_row(p) for p in prns]))
-        if g.acq_dumper is not None:
-            g.acq_dumper.push(prns, res)
 
-        order = np.argsort(-res.test_statistic)
+        # multi-band Doppler projection (GNSSFlowgraph::project_doppler,
+        # gnss_flowgraph.cc): satellites already tracked on another band
+        # get a narrow assisted search seeded with the projected Doppler
+        # dop2 = dop1 * f2/f1 instead of the full cold grid
+        proj = self._project_doppler(g)
+        prns_assist = [p for p in prns if p in proj] if (
+            plan.acq_engine == "pcps" and plan.freq_offset_table is None
+            and proj) else []
+        prns_cold = [p for p in prns if p not in prns_assist]
+
+        results = []                    # (prn, det, stat, dop, delay)
+        if prns_cold:
+            xb = np.broadcast_to(x, (len(prns_cold), n))
+            res = g.acq.acquire(
+                xb, np.array([plan.prn_row(p) for p in prns_cold]))
+            if g.acq_dumper is not None:
+                g.acq_dumper.push(prns_cold, res)
+            for i, p in enumerate(prns_cold):
+                results.append((p, bool(res.detected[i]),
+                                float(res.test_statistic[i]),
+                                float(res.doppler_hz[i]),
+                                float(res.delay_samples[i])))
+        if prns_assist:
+            assisted = self._assisted_engine(g, proj)
+            na = assisted.inner.conf.input_samples
+            xa = self._slice(plan.band, start, na)
+            if xa is not None:
+                xba = np.broadcast_to(xa, (len(prns_assist), na))
+                res = assisted.acquire(
+                    xba, np.array([plan.prn_row(p) for p in prns_assist]))
+                for i, p in enumerate(prns_assist):
+                    results.append((p, bool(res.detected[i]),
+                                    float(res.test_statistic[i]),
+                                    float(res.doppler_hz[i]),
+                                    float(res.delay_samples[i])))
+
+        order = np.argsort([-r[2] for r in results])
         started = {}
         seen_offsets: set[float] = set()
         for idx in order:
-            if not res.detected[idx]:
+            prn, det, stat, dop_hz, delay_sp = results[idx]
+            if not det:
                 continue
-            prn = prns[idx]
             if plan.freq_offset_table is not None:
                 # FDMA: antipodal slots share code AND carrier — one
                 # detection per frequency channel; the GNAV slot number
@@ -350,8 +382,8 @@ class Receiver:
             ds = self._dev_streams[plan.band]
             g.tracker.start_channel(
                 ch, prn, plan.prn_row(prn),
-                acq_delay_samples=float(res.delay_samples[idx]),
-                acq_doppler_hz=float(res.doppler_hz[idx]),
+                acq_delay_samples=delay_sp,
+                acq_doppler_hz=dop_hz,
                 acq_samplestamp=start,
                 current_abs_sample=max(start, ds.base),
                 carrier_offset_hz=fdma_off,
@@ -360,8 +392,7 @@ class Receiver:
             g.decoders[prn] = plan.make_decoder(prn)
             log.info(
                 "acq %s%02d %s: doppler %+.0f Hz delay %.1f -> channel %d",
-                plan.system, prn, plan.name,
-                float(res.doppler_hz[idx]), float(res.delay_samples[idx]),
+                plan.system, prn, plan.name, dop_hz, delay_sp,
                 g.offset + ch,
             )
             self.obs.configure_channel(
@@ -370,10 +401,58 @@ class Receiver:
                 fs=plan.fs, signal=plan.name,
                 carrier_offset_hz=fdma_off,
             )
-            started[(plan.system, prn)] = (
-                float(res.doppler_hz[idx]), float(res.delay_samples[idx])
-            )
+            started[(plan.system, prn)] = (dop_hz, delay_sp)
         return started
+
+    def _project_doppler(self, g: SignalGroup) -> dict[int, float]:
+        """prn -> predicted Doppler for g's band, projected from any other
+        group currently tracking the same satellite on a different carrier
+        (GNSSFlowgraph::project_doppler analog): dop2 = dop1 * f2 / f1."""
+        out: dict[int, float] = {}
+        for o in self.groups:
+            if o is g or o.plan.system != g.plan.system:
+                continue
+            if o.plan.carrier_freq_hz == g.plan.carrier_freq_hz:
+                continue
+            dop_row = None
+            for ch, prn in enumerate(o.channel_prn):
+                if not prn or prn in g.channel_prn or prn in out:
+                    continue
+                if o.tracker.ctl[ch].phase == ChannelPhase.IDLE:
+                    continue
+                if dop_row is None:
+                    dop_row = np.asarray(o.tracker.state.carrier_doppler)
+                out[prn] = float(dop_row[ch]) * (
+                    g.plan.carrier_freq_hz / o.plan.carrier_freq_hz)
+        return out
+
+    def _assisted_engine(self, g: SignalGroup, proj: dict[int, float]):
+        """Cached narrow assisted engine for g; the per-row predicted
+        Doppler offsets are jit INPUTS (pcps acquire args), so updating
+        them between calls recompiles nothing."""
+        plan = g.plan
+        if getattr(g, "assisted_acq", None) is None:
+            table = (plan.acq_code_table if plan.acq_code_table is not None
+                     else plan.code_table)
+            from gnss_sdr_tpu.acquisition import AssistedAcquisition
+
+            row_prns = [0] * table.shape[0]
+            for p in plan.search_prns:
+                row_prns[plan.prn_row(p)] = p
+            g.assisted_acq = AssistedAcquisition(
+                plan.acq_conf, table, row_prns,
+                {p: 0.0 for p in row_prns}, window_hz=500.0,
+                mesh=self.mesh)
+        assisted = g.assisted_acq
+        offsets = np.zeros(len(assisted._offsets_np), np.float64)
+        for p, d in proj.items():
+            offsets[plan.prn_row(p)] = d
+        assisted._offsets_np = offsets
+        import jax
+
+        assisted.inner._offsets = jax.device_put(
+            offsets.astype(np.float32))
+        return assisted
 
     # ------------------------------------------------------------------ main
     def run(self, max_blocks: int | None = None) -> ReceiverStatus:

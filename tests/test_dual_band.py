@@ -175,3 +175,47 @@ def test_e5a_assisted_fix(e5a_rx):
     ])
     err_3d = np.linalg.norm(errs_enu, axis=1)
     assert np.mean(err_3d) < 5.0, f"mean 3D error {np.mean(err_3d):.2f} m"
+
+
+def test_project_doppler_assists_secondary_band():
+    """GNSSFlowgraph::project_doppler analog: a satellite tracked on L1
+    seeds the L5 group's acquisition with Doppler scaled by f_L5/f_L1 and
+    a narrow assisted grid."""
+    import numpy as np
+
+    from gnss_sdr_tpu.receiver.plans import gps_l1ca_plan, gps_l5_plan
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.tracking import ChannelPhase
+
+    plans = [
+        gps_l1ca_plan(fs=2.6e6, num_channels=2, search_prns=(7, 8)),
+        gps_l5_plan(fs=12.0e6, num_channels=2, search_prns=(7, 8)),
+    ]
+    rx = Receiver(ReceiverConfig(fs=2.6e6), plans=plans)
+    g1, g5 = rx.groups
+
+    # L1 channel 0 tracks PRN 7 at +1000 Hz
+    g1.channel_prn[0] = 7
+    g1.tracker.ctl[0].phase = ChannelPhase.WIDE
+    import jax.numpy as jnp
+    st = g1.tracker.state
+    g1.tracker.state = st._replace(
+        carrier_doppler=st.carrier_doppler.at[0].set(1000.0))
+
+    proj = rx._project_doppler(g5)
+    f_ratio = g5.plan.carrier_freq_hz / g1.plan.carrier_freq_hz
+    assert set(proj) == {7}
+    assert proj[7] == pytest.approx(1000.0 * f_ratio, rel=1e-6)
+
+    # assisted engine: narrow grid, offsets land on the projected rows
+    eng = rx._assisted_engine(g5, proj)
+    assert len(eng.inner.conf.doppler_grid_hz()) < 12
+    assert eng._offsets_np[g5.plan.prn_row(7)] == pytest.approx(proj[7])
+    assert eng._offsets_np[g5.plan.prn_row(8)] == 0.0
+    # cached: same object on the next call, offsets refreshed
+    eng2 = rx._assisted_engine(g5, {7: 500.0})
+    assert eng2 is eng
+    assert eng._offsets_np[g5.plan.prn_row(7)] == pytest.approx(500.0)
+
+    # no projection for same-band groups or untracked satellites
+    assert rx._project_doppler(g1) == {}
