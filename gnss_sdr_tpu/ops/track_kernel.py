@@ -120,7 +120,7 @@ def make_fused_tracker(
     dll_order: int = 2,
     el_spacing_chips: float = 0.5,
     interp_code: bool = True,
-    replica: str = "window2",
+    replica: str = "auto",
     interpret: bool | None = None,
 ):
     """Build the fused K-period tracker.
@@ -135,6 +135,11 @@ def make_fused_tracker(
     rows_p = (n_max + 127) // LANES + 1      # sample rows per period
     lpad = _pad128(code_len)
     q_rows = lpad // LANES
+    if replica == "auto":
+        # the q-row select loop costs O(code_len/128) passes per gather
+        # set — cheaper than window2's per-row staging for short codes,
+        # fatal for 10230-chip L5/E5 codes
+        replica = "qloop" if q_rows <= 16 else "window2"
     if replica == "window2":
         # extended no-mod table (pack_code_table_ext): guard row + wrap
         q_rows = _pad128(128 + code_len + 192) // LANES
