@@ -93,7 +93,7 @@ def kernel_bench() -> float:
     wi = jnp.asarray(rng.normal(size=(npadw // 128, 128)).astype(np.float32))
     codes_q = jnp.asarray(pack_code_table(
         gps_l1_ca_code_table()[np.arange(channels) % 32].astype(np.float32)))
-    scal0 = np.zeros((channels, 8), np.float32)
+    scal0 = np.zeros((channels, 10), np.float32)
     scal0[:, 1] = 0.3
     scal0[:, 4] = np.linspace(-4000, 4000, channels)
     scal0[:, 7] = 1
@@ -110,6 +110,7 @@ def kernel_bench() -> float:
             last[:, 13], last[:, 12], last[:, 14], last[:, 11],
             last[:, 15], last[:, 16],
             jnp.ones((channels,), jnp.float32),
+            last[:, 18], last[:, 19],
         ], axis=1).astype(jnp.float32)
         chk2 = (chk + jnp.sum(out[:, :, 2])
                 + jnp.sum(out[:, :, 10])).astype(jnp.float32)

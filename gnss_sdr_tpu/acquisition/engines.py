@@ -389,6 +389,22 @@ class AssistedAcquisition:
         self.threshold = self.inner.threshold
         self._offsets_np = offsets
 
+    def set_predicted_doppler(self, offsets_hz: np.ndarray) -> None:
+        """Update the per-row predicted Doppler between calls.
+
+        Offsets are jit INPUTS to the inner engine's acquire program, so
+        this recompiles nothing. Owns the device mirror the inner engine
+        reads — callers must not poke ``inner._offsets`` directly."""
+        import jax
+
+        offsets_hz = np.asarray(offsets_hz, np.float64)
+        if offsets_hz.shape != self._offsets_np.shape:
+            raise ValueError(
+                f"expected {self._offsets_np.shape} offsets, "
+                f"got {offsets_hz.shape}")
+        self._offsets_np = offsets_hz
+        self.inner._offsets = jax.device_put(offsets_hz.astype(np.float32))
+
     def acquire(self, x, prn_idx) -> AcqResults:
         res = self.inner.acquire(x, prn_idx)
         # the engine reports Doppler excluding the deterministic offset;

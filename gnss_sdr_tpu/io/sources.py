@@ -287,11 +287,12 @@ class TimestampedFileSignalSource(FileSignalSource):
 
     The timetag file is a sequence of packed little-endian records
     ``(uint64 samplecount, int32 week, int32 tow_ms)``; samplecount is in
-    *file items* and converts to stream samples via ``items_to_samples``
-    (2 items/sample for interleaved real formats, matching the reference's
-    bytes-to-samples handling). ``clock_offset_ms`` shifts UTC-stamped tags
-    onto GPS time; the integer part lands in ``tow_ms`` and the remainder in
-    ``tow_ms_fraction`` (gnss_sdr_timestamp.cc:37,119-121).
+    *complex samples* for every item type — the reference tags file item
+    ``samplecount * items_to_samples`` (2 items/sample for interleaved real
+    formats, gnss_sdr_timestamp.cc:114), which is stream sample
+    ``samplecount`` again after deinterleaving. ``clock_offset_ms`` shifts
+    UTC-stamped tags onto GPS time; the integer part lands in ``tow_ms`` and
+    the remainder in ``tow_ms_fraction`` (gnss_sdr_timestamp.cc:37,119-121).
 
     ``timetag_for(sample_index)`` returns the most recent tag at or before the
     absolute sample index, re-anchored to that index, so observables can pin
@@ -299,8 +300,7 @@ class TimestampedFileSignalSource(FileSignalSource):
     """
 
     def __init__(self, meta: FileMeta, timestamp_path: str,
-                 clock_offset_ms: float = 0.0,
-                 items_to_samples: float = 1.0) -> None:
+                 clock_offset_ms: float = 0.0) -> None:
         super().__init__(meta)
         self._tags: list[TimeTag] = []
         int_ms = int(clock_offset_ms // 1)
@@ -309,7 +309,7 @@ class TimestampedFileSignalSource(FileSignalSource):
         raw = np.fromfile(timestamp_path, dtype=rec)
         for r in raw:
             self._tags.append(TimeTag(
-                sample_index=int(r["count"] / items_to_samples),
+                sample_index=int(r["count"]),
                 week=int(r["week"]),
                 tow_ms=int(r["tow_ms"]) + int_ms,
                 tow_ms_fraction=frac_ms,

@@ -126,11 +126,13 @@ def make_fused_tracker(
     """Build the fused K-period tracker.
 
     Returns f(wr [WR, 128], wi [WR, 128], codes_q [C, Q, 128],
-    scalars [C, 8]) -> [C, K, 128] f32 per-period lane-packed rows.
+    scalars [C, 10]) -> [C, K, 128] f32 per-period lane-packed rows.
 
     scalars: [pos, rem_code_phase, code_freq_delta_hz, carrier_phase,
-    carrier_doppler_hz, pll_i1, dll_i1, enabled] per channel. Lanes of
-    each output row: [2t, 2t+1] = tap t re/im, then the LANE_* fields.
+    carrier_doppler_hz, pll_i1, dll_i1, enabled, pll_i2, dll_i2] per
+    channel (the i2 slots let order-3 loop filters round-trip across
+    launches). Lanes of each output row: [2t, 2t+1] = tap t re/im, then
+    the LANE_* fields.
     """
     rows_p = (n_max + 127) // LANES + 1      # sample rows per period
     lpad = _pad128(code_len)
@@ -368,16 +370,21 @@ def make_fused_tracker(
             return (pos_new, rem_new, dcode_new, phase0_new, doppler_new,
                     pll_i1, pll_i2, dll_i1, dll_i2)
 
+        # carry = (pos, rem, dcode, phase0, doppler,
+        #          pll_i1, pll_i2, dll_i1, dll_i2); scalar block slots are
+        # [pos, rem, dcode, phase, doppler, pll_i1, dll_i1, enabled,
+        #  pll_i2, dll_i2] — note pll_i2/dll_i2 ride in slots 8/9 so the
+        # order-3 integrators round-trip across launches
         init = (s_ref[ch, 0], s_ref[ch, 1], s_ref[ch, 2], s_ref[ch, 3],
-                s_ref[ch, 4], s_ref[ch, 5], s_ref[ch, 6], s_ref[ch, 7],
-                jnp.float32(0.0))
+                s_ref[ch, 4], s_ref[ch, 5], s_ref[ch, 8], s_ref[ch, 6],
+                s_ref[ch, 9])
         jax.lax.fori_loop(0, n_periods, body, init)
 
     calls: dict[tuple, object] = {}
 
     def track(wr, wi, codes_q, scalars):
         """wr/wi: [WR, 128] f32 window; codes_q: [C, Q, 128];
-        scalars: [C, 8] f32 -> [C, K, 128] f32."""
+        scalars: [C, 10] f32 -> [C, K, 128] f32."""
         c = codes_q.shape[0]
         wrows = wr.shape[0]
         key = (c, wrows)
@@ -415,7 +422,7 @@ def make_fused_tracker(
 
 
 def fused_scalars_from_state(state, conf) -> jnp.ndarray:
-    """Pack a TrackingState into the kernel's [C, 8] scalar block."""
+    """Pack a TrackingState into the kernel's [C, 10] scalar block."""
     return jnp.stack([
         state.pos.astype(jnp.float32),
         state.rem_code_phase.astype(jnp.float32),
@@ -425,4 +432,6 @@ def fused_scalars_from_state(state, conf) -> jnp.ndarray:
         state.pll_state[:, 0].astype(jnp.float32),
         state.dll_state[:, 0].astype(jnp.float32),
         state.enabled.astype(jnp.float32),
+        state.pll_state[:, 1].astype(jnp.float32),
+        state.dll_state[:, 1].astype(jnp.float32),
     ], axis=1)

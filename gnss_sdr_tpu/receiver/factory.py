@@ -80,10 +80,9 @@ def get_signal_source(cfg: ConfigurationInterface, role: str = "SignalSource"):
         )
         if impl == "File_Timestamp_Signal_Source":
             from gnss_sdr_tpu.io.sources import TimestampedFileSignalSource
-            # interleaved real formats carry 2 file items per complex sample
-            # (file_timestamp_signal_source.cc:97-111 items_to_samples)
-            items_to_samples = 2.0 if item_type in (
-                "ibyte", "ishort", "short", "byte") else 1.0
+            # recorded samplecounts are in complex samples for every item
+            # type (gnss_sdr_timestamp.cc:114 tags file item count*2 for
+            # interleaved formats = stream sample `count` after pairing)
             return TimestampedFileSignalSource(
                 meta,
                 timestamp_path=cfg.property(
@@ -91,7 +90,6 @@ def get_signal_source(cfg: ConfigurationInterface, role: str = "SignalSource"):
                     "./example_capture_timestamp.dat"),
                 clock_offset_ms=cfg.property(
                     f"{role}.timestamp_clock_offset_ms", 0.0),
-                items_to_samples=items_to_samples,
             )
         return FileSignalSource(meta)
     if impl == "Multichannel_File_Signal_Source":

@@ -447,11 +447,7 @@ class Receiver:
         offsets = np.zeros(len(assisted._offsets_np), np.float64)
         for p, d in proj.items():
             offsets[plan.prn_row(p)] = d
-        assisted._offsets_np = offsets
-        import jax
-
-        assisted.inner._offsets = jax.device_put(
-            offsets.astype(np.float32))
+        assisted.set_predicted_doppler(offsets)
         return assisted
 
     # ------------------------------------------------------------------ main

@@ -281,11 +281,14 @@ def test_timestamped_file_source(tmp_path):
     x = (np.arange(4000) % 7 - 3).astype(np.int16)  # 2000 ishort samples
     data = tmp_path / "cap.dat"
     x.tofile(data)
-    # tags at item 0 and item 2000 (= sample 1000): 1 s apart at fs=1 kHz
+    # tags at samplecount 0 and samplecount 1000: 1 s apart at fs=1 kHz
+    # (the recorded count is in complex samples even for interleaved item
+    # types — gnss_sdr_timestamp.cc:114 tags file item count*2 = sample
+    # count after pairing)
     ts = tmp_path / "cap.ts"
     with open(ts, "wb") as f:
         f.write(struct.pack("<QiI", 0, 2200, 432_000_000))
-        f.write(struct.pack("<QiI", 2000, 2200, 432_001_000))
+        f.write(struct.pack("<QiI", 1000, 2200, 432_001_000))
 
     cfg = InMemoryConfiguration()
     cfg.set_property("SignalSource.implementation", "File_Timestamp_Signal_Source")

@@ -125,6 +125,53 @@ def test_fused_matches_track_block(setup, replica):
         assert np.median(rel) < 0.2
 
 
+def test_launch_boundary_state_continuity(setup):
+    """Two back-to-back launches (state re-packed from the last output row,
+    nonzero loop-filter integrators at the seam) must reproduce one long
+    launch bit-for-bit: the scalar-block layout round-trips every carry
+    (guards the ADVICE r4 init-misalignment bug that fed the enabled flag
+    into dll_i1)."""
+    conf, codes_tbl, sig, s0, _ = setup
+    n_win = len(sig)
+    npadw = ((n_win + 127) // 128) * 128
+    wr = np.zeros(npadw, np.float32)
+    wi = np.zeros(npadw, np.float32)
+    wr[:n_win] = sig.real
+    wi[:n_win] = sig.imag
+    wr = jnp.asarray(wr.reshape(-1, 128))
+    wi = jnp.asarray(wi.reshape(-1, 128))
+    codes_q = jnp.asarray(pack_code_table(codes_tbl))
+
+    def mk(k):
+        return make_fused_tracker(
+            k, conf.max_step_samples, 1023, conf.num_taps,
+            np.asarray(tap_offsets_chips(conf)), fs=FS,
+            code_rate_cps=1.023e6, carrier_freq_hz=1575.42e6,
+            pll_bw_hz=conf.pll_bw_hz, dll_bw_hz=conf.dll_bw_hz,
+            pll_order=conf.pll_filter_order, dll_order=conf.dll_filter_order,
+            interp_code=conf.interp_code, replica="qloop", interpret=True,
+        )
+
+    scal = np.array(fused_scalars_from_state(s0, conf), np.float32)
+    # nonzero integrators at the seam so any slot swap shows up
+    scal[:, 5] = [10.0, -20.0, 5.0, 40.0]    # pll_i1
+    scal[:, 6] = [3.0, -1.5, 2.0, -4.0]      # dll_i1
+
+    long = np.asarray(mk(2 * K)(wr, wi, codes_q, jnp.asarray(scal)))
+
+    half = mk(K)
+    a = np.asarray(half(wr, wi, codes_q, jnp.asarray(scal)))
+    last = a[:, -1, :]
+    scal2 = np.stack([
+        last[:, 17], last[:, 13], last[:, 12], last[:, 14], last[:, 11],
+        last[:, 15], last[:, 16], scal[:, 7], last[:, 18], last[:, 19],
+    ], axis=1).astype(np.float32)
+    b = np.asarray(half(wr, wi, codes_q, jnp.asarray(scal2)))
+
+    two = np.concatenate([a, b], axis=1)
+    np.testing.assert_allclose(two, long, rtol=1e-6, atol=1e-4)
+
+
 def test_window2_equals_qloop(setup):
     """The O(1)-in-code-length replica must reproduce the q-loop replica
     bit-for-bit (same gather results, same fp op order downstream)."""
