@@ -102,4 +102,8 @@ class FileConfiguration(ConfigurationInterface):
                 pos = value.find(marker)
                 if pos != -1:
                     value = value[:pos]
-            self._properties[key.strip()] = value.strip()
+            # reference confs end many values with a bare ';'
+            # (e.g. "dump=false;"): the C++ numeric parse (std::stof/stoi)
+            # stops at the first invalid char, so the ';' is silently
+            # ignored there — match that by stripping it
+            self._properties[key.strip()] = value.strip().rstrip(";").strip()

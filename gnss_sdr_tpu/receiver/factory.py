@@ -18,14 +18,12 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from gnss_sdr_tpu.acquisition import AcqConfig
 from gnss_sdr_tpu.conditioner import (
     ConditionerConfig,
     PassThrough,
     SignalConditioner,
 )
 from gnss_sdr_tpu.config.configuration import ConfigurationInterface
-from gnss_sdr_tpu.constants import gps_l1_ca as GPS_L1
 from gnss_sdr_tpu.io import (
     FifoSignalSource,
     FileMeta,
@@ -42,7 +40,6 @@ from gnss_sdr_tpu.outputs import (
     RinexNavWriter,
     RinexObsWriter,
 )
-from gnss_sdr_tpu.tracking import DllPllConf
 
 # implementation-string tables (mirroring gnss_block_factory.cc GetBlock)
 _ITEM_TYPE_MAP = {
@@ -330,20 +327,6 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
     ))
 
 
-# ---------------------------------------------------------- acquisition conf
-_ACQ_IMPLS = {
-    "GPS_L1_CA_PCPS_Acquisition",
-    "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler",
-    "GPS_L1_CA_PCPS_Assisted_Acquisition",
-    "GPS_L1_CA_PCPS_Tong_Acquisition",
-    "GPS_L1_CA_PCPS_QuickSync_Acquisition",
-    "Galileo_E1_PCPS_Ambiguous_Acquisition",
-    "Galileo_E1_PCPS_8ms_Ambiguous_Acquisition",
-    "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition",
-    "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition",
-    "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition",
-}
-
 # implementation string -> acquisition engine variant (acquisition/engines.py)
 _ACQ_ENGINE_BY_IMPL = {
     "GPS_L1_CA_PCPS_Acquisition_Fine_Doppler": "fine_doppler",
@@ -354,84 +337,6 @@ _ACQ_ENGINE_BY_IMPL = {
     "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition": "cccwsr",
     "Galileo_E5a_Noncoherent_IQ_Acquisition_CAF": "noncoh_iq",
 }
-
-
-def get_acquisition_conf(
-    cfg: ConfigurationInterface, role: str = "Acquisition_1C", fs: float = 0.0
-) -> AcqConfig:
-    impl = cfg.property(f"{role}.implementation", "GPS_L1_CA_PCPS_Acquisition")
-    if impl not in _ACQ_IMPLS:
-        raise UnknownImplementation(f"{role}.implementation={impl!r}")
-    galileo = impl.startswith("Galileo_E1")
-    if galileo:
-        from gnss_sdr_tpu.constants import galileo_e1 as GAL
-        code_len, code_rate = GAL.CODE_LENGTH_CHIPS, GAL.CODE_RATE_CPS
-    else:
-        code_len, code_rate = GPS_L1.CODE_LENGTH_CHIPS, GPS_L1.CODE_RATE_CPS
-    fs = fs or cfg.property("GNSS-SDR.internal_fs_sps", 2_600_000.0)
-    coh_ms = cfg.property(f"{role}.coherent_integration_time_ms", 4 if galileo else 1)
-    code_ms = 1000.0 * code_len / code_rate
-    return AcqConfig(
-        fs=fs,
-        code_length_chips=code_len,
-        code_rate_cps=code_rate,
-        doppler_max_hz=float(cfg.property(f"{role}.doppler_max", 5000)),
-        doppler_step_hz=float(cfg.property(f"{role}.doppler_step", 250)),
-        coherent_integration_periods=max(int(round(coh_ms / code_ms)), 1),
-        max_dwells=cfg.property(f"{role}.max_dwells", 1),
-        bit_transition_flag=cfg.property(f"{role}.bit_transition_flag", False),
-        threshold=cfg.property(f"{role}.threshold", 0.0),
-        pfa=cfg.property(f"{role}.pfa", 1e-3),
-        make_two_steps=cfg.property(f"{role}.make_two_steps", False),
-        doppler_step2_hz=float(cfg.property(f"{role}.second_doppler_step", 125)),
-        num_doppler_bins_step2=cfg.property(f"{role}.second_nbins", 4),
-    )
-
-
-# ------------------------------------------------------------- tracking conf
-_TRK_IMPLS = {
-    "GPS_L1_CA_DLL_PLL_Tracking",
-    "Galileo_E1_DLL_PLL_VEML_Tracking",
-}
-
-
-def get_tracking_conf(
-    cfg: ConfigurationInterface,
-    role: str = "Tracking_1C",
-    fs: float = 0.0,
-    max_channels: int = 8,
-) -> DllPllConf:
-    impl = cfg.property(f"{role}.implementation", "GPS_L1_CA_DLL_PLL_Tracking")
-    if impl not in _TRK_IMPLS:
-        raise UnknownImplementation(f"{role}.implementation={impl!r}")
-    veml = "VEML" in impl
-    if veml:
-        from gnss_sdr_tpu.constants import galileo_e1 as GAL
-        code_len, code_rate, freq = (
-            GAL.CODE_LENGTH_CHIPS, GAL.CODE_RATE_CPS, GAL.FREQ_HZ)
-    else:
-        code_len, code_rate, freq = (
-            GPS_L1.CODE_LENGTH_CHIPS, GPS_L1.CODE_RATE_CPS, GPS_L1.FREQ_HZ)
-    fs = fs or cfg.property("GNSS-SDR.internal_fs_sps", 2_600_000.0)
-    return DllPllConf(
-        fs=fs,
-        code_length_chips=code_len,
-        code_rate_cps=code_rate,
-        carrier_freq_hz=freq,
-        pll_bw_hz=cfg.property(f"{role}.pll_bw_hz", 35.0),
-        dll_bw_hz=cfg.property(f"{role}.dll_bw_hz", 2.0),
-        pll_bw_narrow_hz=cfg.property(f"{role}.pll_bw_narrow_hz", 7.5),
-        dll_bw_narrow_hz=cfg.property(f"{role}.dll_bw_narrow_hz", 0.75),
-        early_late_spacing_chips=cfg.property(
-            f"{role}.early_late_space_chips", 0.15 if veml else 0.5),
-        very_early_late_spacing_chips=cfg.property(
-            f"{role}.very_early_late_space_chips", 0.6 if veml else 0.0),
-        enable_fll_pull_in=cfg.property(f"{role}.enable_fll_pull_in", False),
-        fll_bw_hz=cfg.property(f"{role}.fll_bw_hz", 4.0),
-        extend_correlation_symbols=cfg.property(
-            f"{role}.extend_correlation_symbols", 1),
-        max_channels=max_channels,
-    )
 
 
 # --------------------------------------------------------------- pvt writers
@@ -677,6 +582,43 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
         opt("extend_correlation_symbols",
             f"Tracking_{sig}.extend_correlation_symbols", 0)
     plan = make(**kwargs)
+
+    # remaining reference acquisition/tracking knobs apply directly onto
+    # the built confs (gnss_block_factory.cc passes every Acquisition_XX.*
+    # property into the adapter; here the plan factory owns the defaults
+    # and the conf dialect overrides them)
+    from dataclasses import replace as _replace
+
+    acq_over = {}
+    if cfg.has_property(f"Acquisition_{sig}.coherent_integration_time_ms"):
+        code_ms = (1000.0 * plan.acq_conf.code_length_chips
+                   / plan.acq_conf.code_rate_cps)
+        coh_ms = cfg.property(
+            f"Acquisition_{sig}.coherent_integration_time_ms", code_ms)
+        acq_over["coherent_integration_periods"] = max(
+            int(round(coh_ms / code_ms)), 1)
+    for key, prop, dv in (
+        ("threshold", "threshold", 0.0),
+        ("bit_transition_flag", "bit_transition_flag", False),
+        ("make_two_steps", "make_two_steps", False),
+        ("doppler_step2_hz", "second_doppler_step", 125.0),
+        ("num_doppler_bins_step2", "second_nbins", 4),
+    ):
+        if cfg.has_property(f"Acquisition_{sig}.{prop}"):
+            acq_over[key] = cfg.property(f"Acquisition_{sig}.{prop}", dv)
+    if acq_over:
+        plan.acq_conf = _replace(plan.acq_conf, **acq_over)
+    trk_over = {}
+    for key, prop, dv in (
+        ("pll_filter_order", "pll_filter_order", 3),
+        ("dll_filter_order", "dll_filter_order", 2),
+        ("cn0_min_dbhz", "cn0_min", 25.0),
+    ):
+        if cfg.has_property(f"Tracking_{sig}.{prop}"):
+            trk_over[key] = cfg.property(f"Tracking_{sig}.{prop}", dv)
+    if trk_over:
+        plan.trk_conf = _replace(plan.trk_conf, **trk_over)
+
     # acquisition engine variants (Tong / QuickSync / fine-Doppler / CCCWSR)
     engine = _ACQ_ENGINE_BY_IMPL.get(acq_impl)
     if engine is not None:

@@ -13,7 +13,21 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from gnss_sdr_tpu.codes.galileo_e1 import cboc_expand, galileo_e1b_code
+from gnss_sdr_tpu.codes.galileo_e1 import (
+    CBOC_ALPHA,
+    cboc_expand,
+    galileo_e1b_code,
+)
+
+
+def _sinboc_component(chips: np.ndarray) -> np.ndarray:
+    """In-band sinBOC(1,1) part of the CBOC waveform on the same
+    12-subchip grid, amplitude CBOC_ALPHA = sqrt(10/11) — what a
+    narrowband front end passes of the composite (the BOC(6,1) sideband
+    at +-6.138 MHz is filtered; same for data and pilot)."""
+    sc1 = np.repeat(np.array([1.0, -1.0], dtype=np.float32), 6)
+    wave = np.float32(CBOC_ALPHA) * sc1
+    return (chips.astype(np.float32)[:, None] * wave[None, :]).reshape(-1)
 from gnss_sdr_tpu.constants import galileo_e1 as GAL
 from gnss_sdr_tpu.simulate.constellation import truth_measurement, visible_sats
 from gnss_sdr_tpu.telemetry.inav import (
@@ -92,6 +106,15 @@ class GalileoScenarioConfig:
     # secondary). Off by default: the legacy data-only capture puts the
     # full C/N0 on E1-B (existing tests); pilot-tracking tests enable it.
     emit_pilot: bool = False
+    # Emit the full CBOC(6,1,1/11) waveform vs the in-band sinBOC(1,1)
+    # component only (amplitude sqrt(10/11)). None = auto by fs: the
+    # BOC(6,1) sideband sits at +-6.138 MHz, so any fs below ~14 Msps
+    # models a narrowband front end that filters it out — POINT-sampling
+    # the 12-subchip CBOC grid at such rates would alias the sideband
+    # into deterministic prompt-amplitude modulation no real capture
+    # shows (it read as ~10 dB of fake "noise" to the variance-based
+    # C/N0 estimator).
+    cboc: bool | None = None
 
 
 class GalileoScenario:
@@ -185,15 +208,21 @@ class GalileoScenario:
             ttx = ttx_sv - self.ephs[prn].tgd - tropo_m / C_LIGHT
             self._grids[prn] = (t_grid, ttx)
             self._grids_phase[prn] = (t_grid, ttx)
-            self._cboc[prn] = cboc_expand(galileo_e1b_code(prn))
+            use_cboc = (self.cfg.cboc if self.cfg.cboc is not None
+                        else self.cfg.fs >= 14e6)
+            self._cboc[prn] = (
+                cboc_expand(galileo_e1b_code(prn)) if use_cboc
+                else _sinboc_component(galileo_e1b_code(prn)))
             if self.cfg.emit_pilot:
                 from gnss_sdr_tpu.codes.galileo_e1 import (
                     e1c_secondary_chips,
                     galileo_e1c_code,
                 )
 
-                self._cboc_pilot[prn] = cboc_expand(
-                    galileo_e1c_code(prn), pilot=True)
+                self._cboc_pilot[prn] = (
+                    cboc_expand(galileo_e1c_code(prn), pilot=True)
+                    if use_cboc
+                    else _sinboc_component(galileo_e1c_code(prn)))
                 self._cs25 = e1c_secondary_chips().astype(np.float64)
 
     # --------------------------------------------------------------- generate

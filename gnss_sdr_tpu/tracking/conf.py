@@ -30,6 +30,12 @@ class DllPllConf:
     # ~1000x slower on this TPU runtime but fine on CPU); FDMA plans keep
     # the XLA path (f64 per-sample wipeoff phase)
     pallas_correlator: bool | None = None
+    # Fused on-chip tracking loop (ops/track_kernel.py via tracking/fused.py):
+    # the whole K-period DLL/PLL iteration in one Mosaic launch instead of
+    # one XLA scan step per period. None = auto (on for the TPU backend
+    # when the plan is eligible — see tracking/fused.fused_eligible);
+    # True forces it (interpret-mode on CPU, for tests).
+    fused_tracker: bool | None = None
 
     # Loop bandwidths / orders (wide = before bit sync, narrow = after)
     pll_bw_hz: float = 35.0

@@ -170,6 +170,21 @@ class Tracker:
             # runtimes cannot transfer non-default-layout buffers)
             return new_state, packed.ravel()
 
+        # Fused on-chip engine (tracking/fused.py): default on TPU for
+        # eligible plans — the XLA scan stays as the fallback for FDMA/KF/
+        # sharded meshes and oversized windows (f32 sample positions must
+        # stay exact, < 2^24)
+        from gnss_sdr_tpu.tracking.fused import (
+            build_fused_engine,
+            fused_eligible,
+        )
+
+        want_fused = (conf.fused_tracker if conf.fused_tracker is not None
+                      else jax.default_backend() == "tpu")
+        self._use_fused = bool(want_fused) and fused_eligible(conf, mesh)
+        if self._use_fused:
+            self._fused_kern, self._fused_pack = build_fused_engine(conf)
+
         self.mesh = mesh
         if mesh is None:
             self._track_packed = jax.jit(_track_packed)
@@ -346,9 +361,29 @@ class Tracker:
                 jnp.asarray(self.sec_pilot) if conf.track_pilot else None,
                 jnp.asarray(self.sec_data) if conf.track_pilot else None,
             )
-        new_state, packed = self._track_packed(
-            st, window_ri, *self._codes_dev
+            if self._use_fused:
+                self._codes_dev_fused = (
+                    jnp.asarray(self._fused_pack(self.codes)),
+                    jnp.asarray(self._fused_pack(self.data_codes))
+                    if conf.track_pilot else None,
+                )
+        # the fused kernel carries sample positions as exact f32 integers
+        fused_ok = self._use_fused and (
+            window_len + conf.steps_per_block * conf.max_step_samples
+            + 2 * self._fused_kern.rows_p * 128 < 2 ** 24
         )
+        if fused_ok:
+            from gnss_sdr_tpu.tracking.fused import fused_track_block_packed
+
+            new_state, packed = fused_track_block_packed(
+                conf, self._spec, self._fused_kern, st, window_ri,
+                self._codes_dev_fused[0], self._codes_dev_fused[1],
+                self._codes_dev[2], self._codes_dev[3],
+            )
+        else:
+            new_state, packed = self._track_packed(
+                st, window_ri, *self._codes_dev
+            )
         self.state = new_state
         flat = fetch(packed)
         host = unpack_tree(
