@@ -156,6 +156,10 @@ def make_fused_tracker(
     code_lenf = np.float32(code_len)
     nominal_step = np.float64(code_rate_cps / fs)   # chips/sample, f64 const
     aid_ratio = np.float32(code_rate_cps / carrier_freq_hz)
+    # small-quantity code-phase bookkeeping (see make_fused_tracker_full)
+    spc = float(np.round(fs * code_len / code_rate_cps))
+    c0 = np.float32(spc * float(nominal_step) - code_len)
+    spcf = np.float32(spc)
     # loop filter constants
     w0p = np.float32(pll_bw_hz / (0.53 if pll_order == 2 else
                                   (0.7845 if pll_order == 3 else 0.25)))
@@ -187,10 +191,17 @@ def make_fused_tracker(
         def body(i, carry):
             (pos, rem, dcode, phase0, doppler,
              pll_i1, pll_i2, dll_i1, dll_i2) = carry
-            code_step = jnp.float32(nominal_step) + dcode * inv_fs
-            n_f = (code_lenf - rem) / code_step
-            n = jnp.ceil(n_f - jnp.float32(1e-4))
-            n = jnp.clip(n, 1.0, jnp.float32(n_max))
+            delta = dcode * inv_fs
+            code_step = jnp.float32(nominal_step) + delta
+            small = rem + c0 + spcf * delta
+            n_f = spcf - small / code_step
+            # round + negative-remnant correction (not epsilon-ceil):
+            # guarantees the post-period remnant lands in [0, code_step)
+            # — see make_fused_tracker_full for the failure mode
+            n0 = jnp.floor(n_f + jnp.float32(0.5))
+            rem0 = rem + ((n0 - spcf) * code_step + c0 + spcf * delta)
+            addf = (rem0 < 0.0).astype(jnp.float32)
+            n = jnp.clip(n0 + addf, 1.0, jnp.float32(n_max))
 
             r0 = jnp.floor(pos * jnp.float32(1.0 / LANES))
             off = pos - r0 * LANES
@@ -347,8 +358,8 @@ def make_fused_tracker(
                 phase0_new / two_pi)
             doppler_new = pll_out
             dcode_new = doppler_new * aid_ratio - dll_out
-            rem_new = rem + n * code_step - code_lenf
-            rem_new = jnp.where(rem_new < 0.0, rem_new + code_lenf, rem_new)
+            rem_new = jnp.maximum(
+                rem + ((n - spcf) * code_step + c0 + spcf * delta), 0.0)
             pos_new = pos + n
 
             # ---- pack + store the period row ------------------------------
@@ -583,8 +594,17 @@ def make_fused_tracker_full(
             code_step = jnp.float32(nominal_step) + delta
             small = rem + c0 + spcf * delta      # chips past spc samples
             n_f = spcf - small / code_step
-            n = jnp.ceil(n_f - jnp.float32(1e-4))
-            n = jnp.clip(n, 1.0, jnp.float32(n_max))
+            # Pick n so the post-period remnant lands EXACTLY in
+            # [0, code_step): round to the nearest sample count, compute
+            # the remnant, and take one more sample if it went negative.
+            # (An epsilon-guarded ceil can undershoot by 1 when n_f sits
+            # just above an integer — the remnant then wraps to ~L chips
+            # and the next "period" is 1 sample long, a glitch that
+            # permanently slips extended-integration bit alignment.)
+            n0 = jnp.floor(n_f + jnp.float32(0.5))
+            rem0 = rem + ((n0 - spcf) * code_step + c0 + spcf * delta)
+            addf = (rem0 < 0.0).astype(jnp.float32)
+            n = jnp.clip(n0 + addf, 1.0, jnp.float32(n_max))
 
             r0 = jnp.floor(pos * jnp.float32(1.0 / LANES))
             off = pos - r0 * LANES
@@ -800,9 +820,13 @@ def make_fused_tracker_full(
             dphi = (two_pi * inv_fs) * doppler * n
             phase0_adv = phase0 + dphi
             phase0_adv = phase0_adv - two_pi * jnp.floor(phase0_adv / two_pi)
-            # rem + n*step - L via small quantities (see c0 above)
-            rem_adv = rem + ((n - spcf) * code_step + c0 + spcf * delta)
-            rem_adv = jnp.where(rem_adv < 0.0, rem_adv + code_lenf, rem_adv)
+            # rem + n*step - L via small quantities (see c0 above); with
+            # the corrected n this is in [0, code_step) by construction —
+            # the max() only recovers degenerate states where the n clip
+            # bound bit (never wrap by +L: that manufactures a 1-sample
+            # period and slips bit alignment)
+            rem_adv = jnp.maximum(
+                rem + ((n - spcf) * code_step + c0 + spcf * delta), 0.0)
             eng = en > 0.5
             pos_new = jnp.where(eng, pos + n, pos)
             rem_new = jnp.where(eng, rem_adv, rem)

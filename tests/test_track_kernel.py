@@ -172,6 +172,44 @@ def test_launch_boundary_state_continuity(setup):
     np.testing.assert_allclose(two, long, rtol=1e-6, atol=1e-4)
 
 
+def test_no_one_sample_period_glitch():
+    """Period-length selection at integer crossings: when the true period
+    length sits a hair above an integer sample count, an epsilon-guarded
+    ceil picks one sample too few, the remnant wraps to ~L chips, and the
+    next 'period' is one sample long — permanently slipping bit
+    alignment (r5 regression: lost ~40% of LNAV subframes). The
+    round+correct formulation must keep rem in [0, step) and n within
+    one sample of nominal."""
+    conf = DllPllConf(
+        fs=FS, code_length_chips=1023, code_rate_cps=1.023e6,
+        carrier_freq_hz=1575.42e6, max_channels=1, steps_per_block=10,
+        pallas_correlator=False,
+    )
+    fused = make_fused_tracker(
+        10, conf.max_step_samples, 1023, conf.num_taps,
+        np.asarray(tap_offsets_chips(conf)), fs=FS,
+        code_rate_cps=1.023e6, carrier_freq_hz=1575.42e6,
+        pll_bw_hz=conf.pll_bw_hz, dll_bw_hz=conf.dll_bw_hz,
+        pll_order=conf.pll_filter_order, dll_order=conf.dll_filter_order,
+        interp_code=conf.interp_code, replica="qloop", interpret=True,
+    )
+    n_win = conf.window_samples
+    npadw = ((n_win + 127) // 128 + 4) * 128
+    wr = jnp.zeros((npadw // 128, 128), jnp.float32)
+    codes_q = jnp.asarray(pack_code_table(
+        gps_l1_ca_code_table()[:1].astype(np.float32)))
+    # rem=0, dcode=-0.01 Hz: true n_f = 2600 + ~2.5e-5 — just above the
+    # integer, inside the old epsilon-ceil's failure window
+    scal = np.zeros((1, 10), np.float32)
+    scal[0, 2] = -0.01
+    scal[0, 7] = 1.0
+    out = np.asarray(fused(wr, wr, codes_q, jnp.asarray(scal)))
+    n = out[0, :, 10]
+    rem = out[0, :, 13]
+    assert np.all((n >= 2600) & (n <= 2601)), n
+    assert np.all((rem >= 0.0) & (rem < 1.0)), rem
+
+
 def test_window2_equals_qloop(setup):
     """The O(1)-in-code-length replica must reproduce the q-loop replica
     bit-for-bit (same gather results, same fp op order downstream)."""
