@@ -455,6 +455,9 @@ S_ATAN2, S_FLL, S_PLL_BW, S_DLL_BW = 15, 16, 17, 18
 S_PREV_RE, S_PREV_IM = 19, 20
 S_ACCD_RE, S_ACCD_IM, S_ACCD_CNT = 21, 22, 23
 S_ACC0 = 24                  # 2*T lanes: coherent tap accumulators re/im
+# slot S_ACC0 + 2*T: FDMA carrier offset as REDUCED rad/sample (the
+# per-channel GLONASS slot offset folded mod 2pi — MHz offsets are exact
+# in this representation where raw Hz would overflow f32 phase)
 
 # Extra output lanes (0..19 match the simple kernel's layout):
 LANE_BOUND = 20              # loop updated after this period (0/1)
@@ -488,6 +491,7 @@ def make_fused_tracker_full(
     sec_len_pilot: int = 1,
     sec_len_data: int = 1,
     sec_lcm: int = 1,
+    fdma: bool = False,
     replica: str = "auto",
     interpret: bool | None = None,
 ):
@@ -515,7 +519,7 @@ def make_fused_tracker_full(
     offs = [float(o) for o in np.asarray(tap_offsets, np.float32)]
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
-    ns = S_ACC0 + 2 * t
+    ns = S_ACC0 + 2 * t + 1          # +1: FDMA reduced offset slot
 
     inv_fs = np.float32(1.0 / fs)
     two_pi = np.float32(2.0 * np.pi)
@@ -583,6 +587,7 @@ def make_fused_tracker_full(
         dll_bw = s_ref[ch, S_DLL_BW]
         w0p = pll_bw / pll_div
         w0d = dll_bw / dll_div
+        w_off = s_ref[ch, S_ACC0 + 2 * t] if fdma else None
 
         def body(i, carry):
             (pos, rem, dcode, phase0, doppler,
@@ -614,7 +619,16 @@ def make_fused_tracker_full(
             k = kin.astype(jnp.float32) - off
             mask = ((k >= 0.0) & (k < n)).astype(jnp.float32)
 
-            ph = phase0 + (two_pi * inv_fs) * doppler * k
+            if fdma:
+                # slot offset rides on the Doppler as a pre-reduced
+                # rad/sample step; reduce the phase mod 2pi before the
+                # f32 sincos (the raw phase sweeps ~1700 rad per period)
+                step_tot = (two_pi * inv_fs) * doppler + w_off
+                ph = phase0 + step_tot * k
+                ph = ph - two_pi * jnp.floor(ph * jnp.float32(
+                    1.0 / (2.0 * np.pi)))
+            else:
+                ph = phase0 + (two_pi * inv_fs) * doppler * k
             cw = jnp.cos(ph)
             sw = jnp.sin(ph)
             wr_ = (xr * cw + xi * sw) * mask
@@ -817,7 +831,10 @@ def make_fused_tracker_full(
                 boundary, doppler_new * aid_ratio - dll_out, dcode)
 
             # ---- NCO advance (pre-update doppler, enabled-gated) ----------
-            dphi = (two_pi * inv_fs) * doppler * n
+            if fdma:
+                dphi = ((two_pi * inv_fs) * doppler + w_off) * n
+            else:
+                dphi = (two_pi * inv_fs) * doppler * n
             phase0_adv = phase0 + dphi
             phase0_adv = phase0_adv - two_pi * jnp.floor(phase0_adv / two_pi)
             # rem + n*step - L via small quantities (see c0 above); with

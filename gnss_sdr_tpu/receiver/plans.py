@@ -1288,6 +1288,14 @@ def galileo_e1bc_plan(
             max_dwells=1,
             bit_transition_flag=True,
             pfa=acq_pfa,
+            # two-step Doppler zoom: with 4 ms coherent periods the FLL's
+            # false-lock lines sit at +-125 Hz, and a 125 Hz primary grid
+            # leaves up to 62.5 Hz of error — exactly the watershed. The
+            # fine pass hands tracking a <16 Hz seed (reference E1 confs
+            # use make_two_steps for the same reason).
+            make_two_steps=True,
+            doppler_step2_hz=31.25,
+            num_doppler_bins_step2=4,
         ),
         trk_conf=DllPllConf(
             fs=fs,

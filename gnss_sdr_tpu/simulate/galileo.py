@@ -237,8 +237,20 @@ class GalileoScenario:
         for prn in self.prns:
             tg, ttxg = self._grids[prn]
             ttx = np.interp(t, tg, ttxg)
-            sub_idx = np.floor(ttx * sub_rate).astype(np.int64)
-            chips = self._cboc[prn][sub_idx % sub_len]
+            # integrate-and-dump front end: average the waveform over each
+            # sampling cell (4-point boxcar on the 12-subchip grid) instead
+            # of point sampling. At commensurate rates (fs = 4.092e6 is
+            # EXACTLY 2 samples/subchip) point sampling pins every chip
+            # transition to the same grid phase, and the residual
+            # code-Doppler slide coherently amplitude-modulates the prompt
+            # by ~15% at ~Hz rates — which variance-based C/N0 estimators
+            # read as ~8 dB of fake noise. A real ADC integrates over the
+            # cell; so does this.
+            cell = 1.0 / (4.0 * cfg.fs)
+            sub4 = [np.floor((ttx + (j + 0.5) * cell) * sub_rate)
+                    .astype(np.int64) for j in range(4)]
+            wave = self._cboc[prn]
+            chips = sum(wave[s % sub_len] for s in sub4) / 4.0
             sym_idx = np.floor((ttx - self._tow0) / SYMBOL_S).astype(np.int64)
             signs = self._signs[prn][np.clip(sym_idx, 0,
                                              len(self._signs[prn]) - 1)]
@@ -247,7 +259,8 @@ class GalileoScenario:
             if cfg.emit_pilot:
                 # ICD composite: data and pilot at half power each, pilot
                 # with the structural minus sign and CS25 secondary
-                pilot = self._cboc_pilot[prn][sub_idx % sub_len]
+                pwave = self._cboc_pilot[prn]
+                pilot = sum(pwave[s % sub_len] for s in sub4) / 4.0
                 per_idx = np.floor(ttx / GAL.CODE_PERIOD_S).astype(np.int64)
                 cs = self._cs25[per_idx % 25]
                 comp = (chips * signs - pilot * cs) / np.sqrt(2.0)

@@ -75,12 +75,14 @@ from gnss_sdr_tpu.utils.hostpack import pack_tree
 def fused_eligible(conf: DllPllConf, mesh) -> bool:
     """Plans the full fused kernel covers; the rest keep the XLA scan.
 
-    FDMA needs the f64 per-sample wipeoff phase (GLONASS slot offsets
-    reach MHz), the KF mode runs 3x3 covariance algebra per boundary,
-    and sharded meshes would need the kernel under shard_map — all stay
-    on tracking/dll_pll.py (reference analog: the FPGA offload in
-    dll_pll_veml_tracking_fpga.cc has the same scope split)."""
-    return not conf.fdma and not conf.kf and mesh is None
+    FDMA rides the fast path too: the per-channel slot offset enters as
+    a mod-2pi-REDUCED rad/sample step (exact where raw MHz would
+    overflow f32 phase). The KF mode runs 3x3 covariance algebra per
+    boundary and sharded meshes would need the kernel under shard_map —
+    those stay on tracking/dll_pll.py (reference analog: the FPGA
+    offload in dll_pll_veml_tracking_fpga.cc has a similar scope
+    split)."""
+    return not conf.kf and mesh is None
 
 
 def build_fused_engine(conf: DllPllConf, interpret: bool | None = None):
@@ -102,6 +104,7 @@ def build_fused_engine(conf: DllPllConf, interpret: bool | None = None):
         sec_len_pilot=conf.sec_len_pilot,
         sec_len_data=conf.sec_len_data,
         sec_lcm=conf.sec_lcm,
+        fdma=conf.fdma,
         interpret=interpret,
     )
     if kern.replica == "window2":
@@ -147,6 +150,11 @@ def _pack_scalars(conf: DllPllConf, state: TrackingState) -> jnp.ndarray:
     for ti in range(conf.num_taps):
         cols.append(state.acc_taps[:, ti, 0].astype(jnp.float32))
         cols.append(state.acc_taps[:, ti, 1].astype(jnp.float32))
+    # FDMA slot offset, reduced to [-pi, pi) rad/sample in f64 first —
+    # MHz offsets are exact in this representation
+    w = 2.0 * np.pi * state.carrier_offset / np.float64(conf.fs)
+    w_red = jnp.mod(w + np.pi, 2.0 * np.pi) - np.pi
+    cols.append(w_red.astype(jnp.float32))
     return jnp.stack(cols, axis=1)
 
 
@@ -189,9 +197,13 @@ def fused_track_block_packed(
         [state.carrier_doppler[None, :].astype(jnp.float32), dop[:-1]],
         axis=0)
     # f64 accumulated carrier phase for the observables (kernel holds
-    # phase mod 2pi in f32; enabled-gating happens at state fold below)
-    dphi = (2.0 * np.pi / np.float64(conf.fs)) * dop_pre.astype(
-        jnp.float64) * n.astype(jnp.float64)
+    # phase mod 2pi in f32; enabled-gating happens at state fold below).
+    # FDMA: the NCO frequency includes the slot offset (dll_pll.py
+    # nco_freq = doppler + carrier_offset).
+    nco = dop_pre.astype(jnp.float64)
+    if conf.fdma:
+        nco = nco + state.carrier_offset[None, :]
+    dphi = (2.0 * np.pi / np.float64(conf.fs)) * nco * n.astype(jnp.float64)
     phase = state.carrier_phase[None, :] + jnp.cumsum(dphi, axis=0)
 
     boundary = col(LANE_BOUND) > 0.5

@@ -189,6 +189,54 @@ def test_fused_matches_xla_pilot_secondary():
                                   np.asarray(out[True][1].state.sec_idx))
 
 
+def test_fused_matches_xla_fdma():
+    """FDMA (GLONASS): per-channel MHz slot offsets enter the kernel as
+    mod-2pi-reduced rad/sample steps; the XLA reference path carries the
+    wipeoff phase in f64. Trajectories must agree to f32 tolerance."""
+    from gnss_sdr_tpu.codes.glonass_ca import glonass_ca_code
+
+    fs = 8.0e6
+    code = np.tile(glonass_ca_code().astype(np.float32), (C, 1))
+    offs = [562.5e3, -1125.0e3]
+    n = 300_000
+    tt = np.arange(n) / fs
+    sig = np.zeros(n, np.complex64)
+    for c in range(C):
+        cph = (0.511e6 * (1 + DOPS[c] / 1.602e9)) * tt
+        chips = code[c][np.floor(cph).astype(np.int64) % 511]
+        sig += 0.5 * chips * np.exp(
+            2j * np.pi * (DOPS[c] + offs[c]) * tt + 0.3j * c)
+    rng = np.random.default_rng(5)
+    sig = (sig + (rng.normal(size=n) + 1j * rng.normal(size=n)) * 0.05
+           ).astype(np.complex64)
+
+    out = {}
+    for fused in (False, True):
+        conf = DllPllConf(
+            fs=fs, code_length_chips=511, code_rate_cps=0.511e6,
+            carrier_freq_hz=1.602e9, max_channels=C, steps_per_block=15,
+            fdma=True, pallas_correlator=False, fused_tracker=fused)
+        trk = Tracker(conf, code)
+        for ch in range(C):
+            trk.start_channel(ch, prn=ch + 1, code_row=ch,
+                              acq_delay_samples=0.0,
+                              acq_doppler_hz=DOPS[ch] + 20.0,
+                              acq_samplestamp=0, current_abs_sample=0,
+                              carrier_offset_hz=offs[ch])
+        r = [trk.process(sig, 0) for _ in range(2)]
+        out[fused] = r
+    a, b = out[False][1], out[True][1]
+    np.testing.assert_array_equal(a.outputs["n_samples"],
+                                  b.outputs["n_samples"])
+    assert np.abs(a.outputs["carrier_doppler"]
+                  - b.outputs["carrier_doppler"]).max() < 0.5
+    pa, pb = a.outputs["prompt"], b.outputs["prompt"]
+    assert np.median(np.abs(pa - pb) / (np.abs(pa) + 1e-9)) < 2e-2
+    # accumulated phase includes the slot offset in both engines
+    assert np.abs(a.outputs["carrier_phase"]
+                  - b.outputs["carrier_phase"]).max() < 0.1
+
+
 def test_fused_disabled_channels_hold_state():
     """Disabled channels must not advance position or loop state."""
     tbl = gps_l1_ca_code_table()[:C].astype(np.float32)
