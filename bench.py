@@ -1,21 +1,33 @@
 """Receiver benchmark (driver-run, real chip). Prints ONE JSON line.
 
 Metrics in the single line:
-- value/metric: aggregate tracking-kernel throughput in Msamples/s across a
-  32-channel batch (carrier wipeoff + 3-tap soft-replica correlation + loop
-  closure per PRN period — the receiver's hot path).
+- value/metric: aggregate tracking throughput in Msamples/s across a
+  32-channel batch of the PRODUCTION fused kernel (the same
+  make_fused_tracker_full program tracking/fused.py runs in the live
+  receiver: carrier wipeoff + 3-tap soft-replica correlation + loop
+  closure per PRN period, K=200 periods per launch on-chip).
 - vs_baseline: ratio of that throughput to the reference's own C/VOLK
   correlator kernel (volk_gnsssdr_32fc_32f_rotator_dot_prod_32fc_xn, AVX
-  variant, compiled from the reference tree and timed on this host's CPU by
-  bench_volk/build.sh) — BASELINE.md's ">= 10x the C++/VOLK baseline".
+  variant, compiled from the reference tree and timed on this host's CPU
+  by bench_volk/build.sh) — BASELINE.md's ">= 10x the C++/VOLK baseline".
 - volk_msps: that measured baseline (0 if the reference tree is absent).
-- e2e_msps / e2e_realtime: full-receiver throughput (feed -> batched
-  tracking -> telemetry -> observables -> PVT) over a simulated 6-satellite
-  capture, and its real-time factor at 2.6 Msps.
-- est_tflops / mfu_pct: achieved FLOP/s from a counted per-sample flop
-  model of the kernel (~88 flop/sample/channel), and the fraction of a
-  nominal 197 Tflop/s chip. The correlator is gather/VPU-bound by nature —
-  MFU is expected to be small; the meaningful target is the VOLK ratio.
+- e2e: realtime factors for the BASELINE.json config matrix —
+    gps6   : GPS L1 6ch @ 2.6 Msps (round-2..4 continuity config)
+    gps8   : GPS L1 8ch full PVT @ 2.6 Msps           (config 2)
+    gal8   : Galileo E1b 8ch @ 4.0 Msps               (config 3)
+    dual16 : GPS L1 8ch @ 2.6 + Galileo E5a 8ch @10.4 (config 4)
+    mc64   : GPS+GAL (shared L1 @4.0) + GLO G1 @3.6 + BDS B1 @2.6,
+             16 channels each = 64                    (config 5)
+  Each value is (seconds of signal)/(wall seconds) with a 2 s compile
+  warmup excluded; < 1.0 means sub-realtime and is reported as such.
+- acq_ms: steady-state wall time of one full-constellation acquisition
+  pass on the gps8 config (32-PRN batched PCPS grid).
+- est_tflops / mfu_pct: counted-flop model (~88 flop/sample/channel) —
+  the correlator is a gather/VPU workload, MFU is expected tiny; the
+  meaningful target is the VOLK ratio.
+
+A wall-clock budget (BENCH_BUDGET_S, default 1800) guards the driver:
+configs that would exceed it are skipped and reported as null.
 """
 
 from __future__ import annotations
@@ -30,11 +42,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# flop model per (sample, channel): carrier phase+sincos ~14, complex
-# rotate+mask 8, per-tap (3): interp ramps ~12 + mul-acc 4 -> 48, data sums
-# + loop updates amortized ~18.
 FLOPS_PER_SAMPLE = 88.0
 NOMINAL_PEAK_TFLOPS = 197.0
+T0 = time.perf_counter()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1800"))
 
 
 def volk_baseline_msps() -> float:
@@ -52,17 +63,19 @@ def volk_baseline_msps() -> float:
 
 
 def kernel_bench() -> float:
-    """Fused on-chip tracking loop (ops/track_kernel.py): K=200 code
-    periods x 32 channels per launch with DLL/PLL closure in-kernel.
-    This is the receiver's true hot path — correlation AND loop feedback —
-    not a bare correlator, so the number is directly comparable to what a
-    full receiver channel consumes per second of signal."""
+    """Fused on-chip tracking loop: K=200 code periods x 32 channels per
+    launch with DLL/PLL closure in-kernel — the exact production kernel
+    (make_fused_tracker_full) the live receiver runs, not a benchmark
+    special."""
     import jax
     import jax.numpy as jnp
 
     from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code_table
     from gnss_sdr_tpu.ops.correlator import pack_code_table
-    from gnss_sdr_tpu.ops.track_kernel import make_fused_tracker
+    from gnss_sdr_tpu.ops.track_kernel import (
+        S_ACC0,
+        make_fused_tracker_full,
+    )
     from gnss_sdr_tpu.tracking.conf import DllPllConf
     from gnss_sdr_tpu.tracking.dll_pll import tap_offsets_chips
 
@@ -70,22 +83,19 @@ def kernel_bench() -> float:
     channels = 32
     steps = 200
     conf = DllPllConf(
-        fs=fs,
-        code_length_chips=1023,
-        code_rate_cps=1.023e6,
-        carrier_freq_hz=1575.42e6,
-        max_channels=channels,
+        fs=fs, code_length_chips=1023, code_rate_cps=1.023e6,
+        carrier_freq_hz=1575.42e6, max_channels=channels,
         steps_per_block=steps,
     )
-    fused = make_fused_tracker(
+    fused = make_fused_tracker_full(
         steps, conf.max_step_samples, 1023, conf.num_taps,
         np.asarray(tap_offsets_chips(conf)), fs=fs,
         code_rate_cps=1.023e6, carrier_freq_hz=1575.42e6,
-        pll_bw_hz=conf.pll_bw_hz, dll_bw_hz=conf.dll_bw_hz,
         pll_order=conf.pll_filter_order, dll_order=conf.dll_filter_order,
         interp_code=conf.interp_code, replica="qloop",
         interpret=jax.default_backend() not in ("tpu",),
     )
+    ns = S_ACC0 + 2 * conf.num_taps + 1
     n_win = conf.window_samples
     npadw = ((n_win + 127) // 128 + 32) * 128
     rng = np.random.default_rng(0)
@@ -93,10 +103,13 @@ def kernel_bench() -> float:
     wi = jnp.asarray(rng.normal(size=(npadw // 128, 128)).astype(np.float32))
     codes_q = jnp.asarray(pack_code_table(
         gps_l1_ca_code_table()[np.arange(channels) % 32].astype(np.float32)))
-    scal0 = np.zeros((channels, 10), np.float32)
+    scal0 = np.zeros((channels, ns), np.float32)
     scal0[:, 1] = 0.3
     scal0[:, 4] = np.linspace(-4000, 4000, channels)
-    scal0[:, 7] = 1
+    scal0[:, 7] = 1                        # enabled
+    scal0[:, 10] = 1                       # integ_len
+    scal0[:, 17] = 35.0                    # pll_bw
+    scal0[:, 18] = 2.0                     # dll_bw
     scal0 = jnp.asarray(scal0)
 
     def run_once(chk, scal):
@@ -105,13 +118,13 @@ def kernel_bench() -> float:
         # rewind pos (reuse the window), carry the loop state forward —
         # the checksum depends on every period of every iteration, so one
         # final d2h fetch is an honest barrier for the whole chain
-        scal2 = jnp.stack([
-            jnp.zeros((channels,), jnp.float32),
-            last[:, 13], last[:, 12], last[:, 14], last[:, 11],
-            last[:, 15], last[:, 16],
-            jnp.ones((channels,), jnp.float32),
-            last[:, 18], last[:, 19],
-        ], axis=1).astype(jnp.float32)
+        cols = [jnp.zeros((channels,), jnp.float32),
+                last[:, 13], last[:, 12], last[:, 14], last[:, 11],
+                last[:, 15], last[:, 16],
+                jnp.ones((channels,), jnp.float32),
+                last[:, 18], last[:, 19]]
+        cols += [scal[:, j] for j in range(10, ns)]
+        scal2 = jnp.stack(cols, axis=1).astype(jnp.float32)
         chk2 = (chk + jnp.sum(out[:, :, 2])
                 + jnp.sum(out[:, :, 10])).astype(jnp.float32)
         return chk2, scal2
@@ -126,137 +139,195 @@ def kernel_bench() -> float:
     scal = scal0
     for _ in range(iters):
         chk, scal = run(chk, scal)
-    _ = np.asarray(chk)                               # true barrier, once
+    # CAUTION: jax.block_until_ready is NOT a reliable barrier on the
+    # axon TPU runtime (it can return before execution completes,
+    # discovered round 4) — a d2h fetch of a value depending on the whole
+    # chain is the only trustworthy sync, paid once.
+    _ = np.asarray(chk)
     dt = time.perf_counter() - t0
     return iters * channels * steps * conf.samples_per_code / dt / 1e6
 
 
-def kernel_bench_xla() -> float:
-    import jax
-    import jax.numpy as jnp
-
-    from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code_table
-    from gnss_sdr_tpu.tracking.conf import DllPllConf
-    from gnss_sdr_tpu.tracking.dll_pll import init_state, track_block
-
-    fs = 2.6e6
-    channels = 32
-    steps = 200
-    conf = DllPllConf(
-        fs=fs,
-        code_length_chips=1023,
-        code_rate_cps=1.023e6,
-        carrier_freq_hz=1575.42e6,
-        max_channels=channels,
-        steps_per_block=steps,
-    )
-    from gnss_sdr_tpu.utils.cplx import dev_combine, host_to_ri
-
-    # complex state leaves are born on device inside a compiled program and
-    # the sample window crosses the boundary as f32 re/im lanes — this
-    # runtime cannot transfer complex64 host<->device (utils/cplx.py)
-    def _init():
-        state = init_state(conf)
-        return state._replace(
-            enabled=jnp.ones((channels,), bool),
-            carrier_doppler=jnp.linspace(-4000, 4000, channels).astype(
-                jnp.float32
-            ),
-        )
-
-    state = jax.jit(_init)()
-    rng = np.random.default_rng(0)
-    window = jnp.asarray(host_to_ri(
-        (rng.normal(size=conf.window_samples)
-         + 1j * rng.normal(size=conf.window_samples)).astype(np.complex64)
-    ))
-    codes = jnp.asarray(gps_l1_ca_code_table()[np.arange(channels) % 32])
-    pos0 = state.pos
-
-    def run_once(st, chk, window_ri, codes, pos0):
-        new_state, outs = track_block(
-            conf, st._replace(pos=pos0), dev_combine(window_ri), codes
-        )
-        # one scalar that depends on the full per-step output set (forces
-        # every step's correlations AND survives as a cheap d2h barrier)
-        chk = chk + (jnp.sum(outs.acc_prompt.real) + jnp.sum(outs.n_samples)
-                     + jnp.sum(outs.carrier_doppler))
-        return new_state, chk
-
-    run = jax.jit(run_once)
-    chk0 = jnp.zeros((), jnp.float32)
-    st, n = run(state, chk0, window, codes, pos0)
-    _ = np.asarray(n)
-
-    # CAUTION: jax.block_until_ready is NOT a reliable barrier on the axon
-    # TPU runtime (it can return before execution completes, inflating
-    # throughput by orders of magnitude — discovered round 4). A device->
-    # host fetch of a value that depends on the computation is the only
-    # trustworthy sync. The checksum is threaded through the iteration
-    # chain, so ONE readback at the end depends on every step of every
-    # iteration — the ~10-30 ms tunnel round trip is paid once and
-    # amortized, while each call's launch still overlaps the previous
-    # call's execution (that is the throughput regime the receiver runs
-    # in: back-to-back 200-period blocks per signal-second).
-    iters = 10
+def _run_e2e(rx, feeds, dur, warm=2):
+    """Feed per-band 1 s chunks, measuring wall time after `warm` s."""
+    for i in range(warm):
+        for band, chunks in feeds.items():
+            rx.feed(chunks[i], band=band)
+        if i == 0:
+            rx.acquire()
+        rx.run()
     t0 = time.perf_counter()
-    chk = chk0
-    for _ in range(iters):
-        st, chk = run(st, chk, window, codes, pos0)  # rewind window pointer
-    _ = np.asarray(chk)                              # true barrier, once
-    dt = time.perf_counter() - t0
-    total_samples = iters * channels * steps * conf.samples_per_code
-    return total_samples / dt / 1e6
-
-
-def e2e_bench() -> tuple[float, float]:
-    """Full-chain throughput: Msamples/s through the Receiver and the
-    real-time factor at the capture rate."""
-    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
-    from gnss_sdr_tpu.simulate.scenario import GpsScenario, ScenarioConfig
-
-    fs = 2.6e6
-    dur = 8
-    scen = GpsScenario(ScenarioConfig(
-        fs=fs, tow_start_s=7314.0, duration_s=float(dur), cn0_dbhz=46.0,
-        max_sats=6, seed=1,
-    ))
-    chunks = [scen.generate(i * int(fs), int(fs)) for i in range(dur)]
-    # 500 ms tracking blocks: the remote-TPU link is round-trip bound
-    # (~60-200 ms per synchronization), so a handful of large device calls
-    # per signal-second dominates e2e throughput (plans steps_per_block)
-    # 1 s tracking blocks: the remote-TPU link is round-trip bound, so
-    # one device call + one fetch per signal-second maximizes throughput
-    rx = Receiver(ReceiverConfig(fs=fs, num_channels=6,
-                                 steps_per_block=1000, int8_stream=True))
-    # warmup: feed two seconds (a 1 s tracking block needs > 1 s buffered)
-    # so acquisition + tracking programs compile outside the timed region
-    rx.feed(chunks[0])
-    rx.feed(chunks[1])
-    rx.acquire()
-    rx.run()
-    t0 = time.perf_counter()
-    for i in range(2, dur):
-        rx.feed(chunks[i])
+    for i in range(warm, dur):
+        for band, chunks in feeds.items():
+            rx.feed(chunks[i], band=band)
         rx.run()
     dt = time.perf_counter() - t0
-    samples = (dur - 2) * fs
-    return samples / dt / 1e6, (samples / fs) / dt
+    return (dur - warm) / dt
+
+
+def e2e_matrix() -> dict:
+    from gnss_sdr_tpu.receiver.receiver import Receiver, ReceiverConfig
+    from gnss_sdr_tpu.receiver import plans as P
+    from gnss_sdr_tpu.simulate.scenario import GpsScenario, ScenarioConfig
+
+    out = {}
+    dur = 6
+
+    def budget_left() -> bool:
+        return time.perf_counter() - T0 < BUDGET_S - 120
+
+    def gen_gps(fs, max_sats, seed=1):
+        scen = GpsScenario(ScenarioConfig(
+            fs=fs, tow_start_s=7314.0, duration_s=float(dur),
+            cn0_dbhz=46.0, max_sats=max_sats, seed=seed))
+        return [scen.generate(i * int(fs), int(fs)) for i in range(dur)]
+
+    # ---- gps6 (continuity config) + acquisition latency ----------------
+    try:
+        chunks = gen_gps(2.6e6, 6)
+        rx = Receiver(ReceiverConfig(fs=2.6e6, num_channels=6,
+                                     steps_per_block=1000, int8_stream=True))
+        out["gps6"] = round(_run_e2e(rx, {"L1": chunks}, dur), 2)
+    except Exception as e:
+        out["gps6"] = None
+        print(f"gps6 failed: {e}", file=sys.stderr)
+
+    # ---- gps8: full PVT, 8 channels ------------------------------------
+    try:
+        if not budget_left():
+            raise TimeoutError("budget")
+        chunks = gen_gps(2.6e6, 8, seed=2)
+        plan = P.gps_l1ca_plan(fs=2.6e6, num_channels=8,
+                               steps_per_block=1000)
+        rx = Receiver(ReceiverConfig(fs=2.6e6, num_channels=8,
+                                     steps_per_block=1000, int8_stream=True),
+                      plans=[plan])
+        out["gps8"] = round(_run_e2e(rx, {"L1": chunks}, dur), 2)
+        t0 = time.perf_counter()
+        rx.acquire()
+        out["acq_ms"] = round(1000.0 * (time.perf_counter() - t0), 1)
+    except Exception as e:
+        out["gps8"] = None
+        print(f"gps8 failed: {e}", file=sys.stderr)
+
+    # ---- gal8: Galileo E1b ---------------------------------------------
+    try:
+        if not budget_left():
+            raise TimeoutError("budget")
+        from gnss_sdr_tpu.simulate.galileo import (
+            GalileoScenario,
+            GalileoScenarioConfig,
+        )
+
+        fs = 4.0e6
+        scen = GalileoScenario(GalileoScenarioConfig(
+            fs=fs, tow_start_s=7310.0, duration_s=float(dur),
+            cn0_dbhz=46.0, max_sats=8, seed=3))
+        chunks = [scen.generate(i * int(fs), int(fs)) for i in range(dur)]
+        plan = P.galileo_e1b_plan(fs=fs, num_channels=8)
+        rx = Receiver(ReceiverConfig(fs=fs, num_channels=8,
+                                     int8_stream=True), plans=[plan])
+        out["gal8"] = round(_run_e2e(rx, {"L1": chunks}, dur), 2)
+    except Exception as e:
+        out["gal8"] = None
+        print(f"gal8 failed: {e}", file=sys.stderr)
+
+    # ---- dual16: GPS L1 + Galileo E5a ----------------------------------
+    try:
+        if not budget_left():
+            raise TimeoutError("budget")
+        from gnss_sdr_tpu.simulate.galileo import (
+            GalileoScenario,
+            GalileoScenarioConfig,
+        )
+        from gnss_sdr_tpu.simulate.multiband import GalileoE5aBand
+
+        fs1, fs5 = 2.6e6, 10.4e6
+        g1 = gen_gps(fs1, 8, seed=4)
+        gal = GalileoScenario(GalileoScenarioConfig(
+            fs=fs1, tow_start_s=7310.0, duration_s=float(dur),
+            cn0_dbhz=46.0, max_sats=8, seed=4))
+        e5a = GalileoE5aBand(gal, fs=fs5, cn0_dbhz=47.0)
+        g5 = [e5a.generate(i * int(fs5), int(fs5)) for i in range(dur)]
+        plans = [
+            P.gps_l1ca_plan(fs=fs1, num_channels=8, steps_per_block=1000),
+            P.galileo_e5a_plan(fs=fs5, num_channels=8),
+        ]
+        rx = Receiver(ReceiverConfig(fs=fs1, num_channels=8,
+                                     int8_stream=True), plans=plans)
+        out["dual16"] = round(
+            _run_e2e(rx, {"L1": g1, "L5": g5}, dur), 2)
+    except Exception as e:
+        out["dual16"] = None
+        print(f"dual16 failed: {e}", file=sys.stderr)
+
+    # ---- mc64: GPS+GAL+GLO+BDS, 16 channels each -----------------------
+    try:
+        if not budget_left():
+            raise TimeoutError("budget")
+        from gnss_sdr_tpu.simulate.beidou import (
+            BeidouScenario,
+            BeidouScenarioConfig,
+        )
+        from gnss_sdr_tpu.simulate.galileo import (
+            GalileoScenario,
+            GalileoScenarioConfig,
+        )
+        from gnss_sdr_tpu.simulate.glonass import (
+            GlonassScenario,
+            GlonassScenarioConfig,
+        )
+
+        fs_l1, fs_g1, fs_b1 = 4.0e6, 3.6e6, 2.6e6
+        gps = GpsScenario(ScenarioConfig(
+            fs=fs_l1, tow_start_s=7314.0, duration_s=float(dur),
+            cn0_dbhz=46.0, max_sats=16, seed=5))
+        gal = GalileoScenario(GalileoScenarioConfig(
+            fs=fs_l1, tow_start_s=7314.0, duration_s=float(dur),
+            cn0_dbhz=46.0, max_sats=16, seed=5))
+        glo = GlonassScenario(GlonassScenarioConfig(
+            fs=fs_g1, tow_start_s=7335.0, duration_s=float(dur),
+            cn0_dbhz=46.0, max_sats=16, seed=5))
+        bds = BeidouScenario(BeidouScenarioConfig(
+            fs=fs_b1, duration_s=float(dur), cn0_dbhz=46.0,
+            max_sats=16, seed=5))
+        l1 = [gps.generate(i * int(fs_l1), int(fs_l1))
+              + gal.generate(i * int(fs_l1), int(fs_l1))
+              for i in range(dur)]
+        g1 = [glo.generate(i * int(fs_g1), int(fs_g1)) for i in range(dur)]
+        b1 = [bds.generate(i * int(fs_b1), int(fs_b1)) for i in range(dur)]
+        plans = [
+            P.gps_l1ca_plan(fs=fs_l1, num_channels=16, steps_per_block=1000),
+            P.galileo_e1b_plan(fs=fs_l1, num_channels=16),
+            P.glonass_l1_ca_plan(fs=fs_g1, num_channels=16),
+            P.beidou_b1i_plan(fs=fs_b1, num_channels=16),
+        ]
+        rx = Receiver(ReceiverConfig(fs=fs_l1, num_channels=16,
+                                     int8_stream=True), plans=plans)
+        out["mc64"] = round(
+            _run_e2e(rx, {"L1": l1, "G1": g1, "B1": b1}, dur), 2)
+    except Exception as e:
+        out["mc64"] = None
+        print(f"mc64 failed: {e}", file=sys.stderr)
+    return out
 
 
 def main() -> None:
     volk = volk_baseline_msps()
     msps = kernel_bench()
-    e2e_msps, e2e_rt = e2e_bench()
+    e2e = e2e_matrix()
     est_tflops = msps * 1e6 * FLOPS_PER_SAMPLE / 1e12
+    acq_ms = e2e.pop("acq_ms", None)
     print(json.dumps({
         "metric": "tracking_throughput_32ch",
         "value": round(msps, 2),
         "unit": "Msamples/s",
         "vs_baseline": round(msps / volk, 1) if volk > 0 else 0.0,
         "volk_msps": round(volk, 1),
-        "e2e_msps": round(e2e_msps, 2),
-        "e2e_realtime": round(e2e_rt, 2),
+        "e2e_msps": round((e2e.get("gps6") or 0.0) * 2.6, 2),
+        "e2e_realtime": e2e.get("gps6"),
+        "e2e": e2e,
+        "acq_ms": acq_ms,
         "est_tflops": round(est_tflops, 3),
         "mfu_pct": round(100.0 * est_tflops / NOMINAL_PEAK_TFLOPS, 3),
     }))

@@ -17,7 +17,15 @@ from gnss_sdr_tpu.simulate.galileo import (
 )
 from gnss_sdr_tpu.tracking import ChannelPhase
 
-FS = 4.092e6  # 2 samples per sinBOC sub-chip
+# 4.0 Msps, NOT 4.092: at exactly 2 samples per sinBOC sub-chip the
+# sampling grid is commensurate with the waveform — every chip's
+# transition samples share one sub-sample phase, so the correlation
+# amplitude coherently modulates (~30%) at ~2 Hz as code Doppler slides
+# the grid, which variance-based C/N0 estimators read as ~8 dB of fake
+# noise. An incommensurate rate spreads the phase across chips and the
+# amplitude averages flat (the reference's E1 captures use 4.0 Msps for
+# the same reason).
+FS = 4.0e6
 
 
 @pytest.fixture(scope="module")
