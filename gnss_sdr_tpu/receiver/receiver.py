@@ -78,6 +78,13 @@ class ReceiverConfig:
     # code periods per tracking device call (see gps_l1ca_plan): remote
     # TPU links are round-trip-bound, so bigger blocks amortize latency
     steps_per_block: int = 20
+    # OSNMA (Galileo navigation message authentication): route the I/NAV
+    # 40-bit fields to the TESLA engine and keep per-satellite auth state
+    # (reference osnma_msg_receiver.cc). `osnma_strict` restricts PVT to
+    # authenticated Galileo satellites (rtklib_pvt_gs.cc:1990-2075).
+    osnma: bool = False
+    osnma_public_key: object = None
+    osnma_strict: bool = False
 
 
 @dataclass
@@ -220,6 +227,11 @@ class Receiver:
         self._next_epoch_t: float | None = None   # next obs epoch (stream s)
         self._last_pvt_tow: float = -1e9
         self._last_fix: PvtSolution | None = None
+        self.osnma = None
+        if cfg.osnma:
+            from gnss_sdr_tpu.receiver.osnma_rx import OsnmaManager
+
+            self.osnma = OsnmaManager(public_key=cfg.osnma_public_key)
 
         # per-band sample stream buffers (absolute indexing; one stream per
         # front-end band, the reference's per-RF-channel SignalSource)
@@ -616,11 +628,27 @@ class Receiver:
                     gch, prn, ev["tow_s"], ev["sample_stamp"],
                     rem_code_chips=rem,
                 )
+                if self.osnma is not None and plan.system == "E":
+                    self.osnma.anchor(gch, ev["tow_s"], ev["sample_stamp"],
+                                      plan.trk_conf.fs)
                 if ev["ephemeris_complete"]:
                     if (plan.system, prn) not in self.ephemerides:
                         log.info("%s%02d: ephemeris complete",
                                  plan.system, prn)
                     self.ephemerides[(plan.system, prn)] = g.decoders[prn].eph
+            # OSNMA: drain the decoder's per-page 40-bit fields into the
+            # TESLA engine once the ephemeris (the authenticated words +
+            # GST week) is known (reference galileo_telemetry_decoder_gs
+            # -> osnma_msg_receiver routing)
+            if self.osnma is not None and plan.system == "E":
+                dec = g.decoders.get(prn)
+                eph = self.ephemerides.get(("E", prn))
+                if (dec is not None and eph is not None
+                        and getattr(dec, "osnma_fields", None)):
+                    fields = dec.osnma_fields
+                    dec.osnma_fields = []
+                    self.osnma.push_fields(
+                        gch, prn, getattr(eph, "week", None), eph, fields)
             # broadcast iono (LNAV SF4 page 18) feeds the solver's
             # Klobuchar model (reference msg_handler_telemetry iono intake,
             # rtklib_pvt_gs.cc:1195)
@@ -648,8 +676,10 @@ class Receiver:
             t_ep = self._next_epoch_t
             self._next_epoch_t += interval
             epoch_obs = self.obs.epoch_time(t_ep)
-            usable = [o for o in epoch_obs
-                      if (o.system, o.prn) in self.ephemerides]
+            usable = self._filter_osnma([
+                o for o in epoch_obs
+                if (o.system, o.prn) in self.ephemerides
+            ])
             t_rx = self.obs.rx_tow_at_time(t_ep)
             if len(usable) >= 4 and (
                 t_rx - self._last_pvt_tow >= cfg.pvt_interval_ms / 1000.0 - 1e-9
@@ -711,6 +741,14 @@ class Receiver:
                                  sol.clock_bias_s * 1e3)
                         self.obs.apply_clock_correction(sol.clock_bias_s)
                         self._last_pvt_tow -= sol.clock_bias_s
+
+    def _filter_osnma(self, usable: list) -> list:
+        """PVT strict mode: only OSNMA-authenticated Galileo satellites
+        contribute to the fix (rtklib_pvt_gs.cc:1990-2075)."""
+        if self.osnma is None or not self.cfg.osnma_strict:
+            return usable
+        return [o for o in usable
+                if o.system != "E" or self.osnma.authenticated(o.prn)]
 
     def close(self) -> None:
         """Flush per-block dump files (end of run)."""

@@ -115,6 +115,13 @@ class GalileoScenarioConfig:
     # shows (it read as ~10 dB of fake "noise" to the variance-based
     # C/N0 estimator).
     cboc: bool | None = None
+    # OSNMA broadcast: an OsnmaSigner whose chain params cover the
+    # scenario's GST span; each I/NAV page then carries the 40-bit
+    # HKROOT/MACK field, tags MAC'd over inav_auth_message(eph).
+    # ``osnma_tamper``: PRNs whose tags are signed over FLIPPED nav bits
+    # (spoof stand-in — their tags must fail authentication).
+    osnma_signer: object = None
+    osnma_tamper: tuple = ()
 
 
 class GalileoScenario:
@@ -150,8 +157,10 @@ class GalileoScenario:
         self._tow0 = 2.0 * np.floor(t_tx_min / 2.0) - 2.0
         n_pages = int(np.ceil(cfg.duration_s / 2.0)) + 4
         self._signs: dict[int, np.ndarray] = {}
+        self._mack_cache: dict[tuple[int, int], np.ndarray] = {}
         for p in self.prns:
-            enc = InavEncoder(self.ephs[p], GalileoIono(), tow0_s=self._tow0)
+            enc = InavEncoder(self.ephs[p], GalileoIono(), tow0_s=self._tow0,
+                              osnma_page_bits=self._osnma_page_fn(p))
             syms = enc.symbols(num_pages=n_pages)
             self._signs[p] = (1.0 - 2.0 * syms.astype(np.float64))
         self._grids: dict[int, tuple[np.ndarray, np.ndarray]] = {}
@@ -160,6 +169,42 @@ class GalileoScenario:
         self._cboc: dict[int, np.ndarray] = {}
         self._cboc_pilot: dict[int, np.ndarray] = {}
         self._build_grids()
+
+    def _osnma_page_fn(self, prn: int):
+        """Per-page 40-bit OSNMA field callable for one satellite, or
+        None when the scenario has no signer. Page k starts at GST
+        self._tow0 + 2k; its subframe/slot follow from the 30 s grid."""
+        signer = self.cfg.osnma_signer
+        if signer is None:
+            return None
+        from gnss_sdr_tpu.telemetry.osnma import inav_auth_message
+
+        hkroots = signer.dsm_kroot_subframes()
+        p = signer.params
+        week = int(self.ephs[prn].week)
+        auth = inav_auth_message(self.ephs[prn])
+        if prn in self.cfg.osnma_tamper:
+            auth = (1 - auth).astype(auth.dtype)
+
+        def page_bits(k: int) -> np.ndarray:
+            tow_k = int(round(self._tow0)) + 2 * k
+            sf_id, rem = divmod(tow_k % 604800, 30)
+            slot = rem // 2
+            hk = hkroots[sf_id % len(hkroots)]
+            ci = ((week - p.wn0) * 604800 + sf_id * 30
+                  - p.tow0_hours * 3600) // 30
+            if ci < 0 or ci + 1 >= len(signer.keys):
+                mack = np.zeros(480, np.uint8)
+            else:
+                key = (prn, sf_id)
+                if key not in self._mack_cache:
+                    self._mack_cache[key] = signer.mack_subframe(
+                        int(ci), auth, prn=prn)
+                mack = self._mack_cache[key]
+            return np.concatenate([hk[slot * 8:(slot + 1) * 8],
+                                   mack[slot * 32:(slot + 1) * 32]])
+
+        return page_bits
 
     # ------------------------------------------------------------------ truth
     def rx_clock_tow(self, sample: float) -> float:

@@ -257,18 +257,32 @@ class OsnmaReceiver:
         self._pending = still
 
 
+def inav_auth_message(eph) -> np.ndarray:
+    """Canonical ADKD-0 navigation bits for one satellite: the WT1-4
+    I/NAV word contents re-packed from the (bit-quantized) ephemeris via
+    the encoder's own word builder. Quantized fields round-trip exactly
+    through the ICD packing, so simulator-side (transmit ephemeris) and
+    receiver-side (decoded ephemeris) calls produce identical bits —
+    the tag message both OsnmaSigner and OsnmaReceiver MAC over."""
+    from gnss_sdr_tpu.telemetry.inav import InavEncoder
+
+    enc = InavEncoder(eph)
+    return np.concatenate([enc._word_bits(wt, 0.0) for wt in (1, 2, 3, 4)])
+
+
 # ------------------------------------------------------------------ signer
 class OsnmaSigner:
     """Test/simulator-side chain builder: generates a TESLA chain, signs
     the KROOT (ECDSA P-256) and emits per-subframe HKROOT/MACK streams."""
 
     def __init__(self, num_keys: int = 64, seed: int = 0,
-                 mac_func: int = 0) -> None:
+                 mac_func: int = 0, wn0: int = 1200,
+                 tow0_hours: int = 2) -> None:
         rng = np.random.default_rng(seed)
         self.params = ChainParams(
             hash_func=0, mac_func=mac_func, key_size_bits=128,
             tag_size_bits=40, alpha=int(rng.integers(0, 1 << 48)),
-            wn0=1200, tow0_hours=2,
+            wn0=wn0, tow0_hours=tow0_hours,
         )
         self._private = (ec.generate_private_key(ec.SECP256R1())
                          if _HAVE_CRYPTO else None)
