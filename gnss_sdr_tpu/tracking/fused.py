@@ -86,13 +86,15 @@ def fused_eligible(conf: DllPllConf, mesh) -> bool:
 
 
 def build_fused_engine(conf: DllPllConf, interpret: bool | None = None):
-    """The kernel plus its code-table packers for this plan."""
-    kern = make_fused_tracker_full(
-        conf.steps_per_block,
-        conf.max_step_samples,
-        conf.code_length_chips,
-        conf.num_taps,
-        np.asarray(tap_offsets_chips(conf)),
+    """The kernel plus its code-table packers for this plan.
+
+    Default engine: the channel-blocked kernel (all channels in one
+    Mosaic program, ~2.5x the per-channel kernel's throughput — see
+    ops/track_kernel_blocked.py). GNSS_SDR_TPU_FUSED=perchannel falls
+    back to the per-channel kernel."""
+    import os
+
+    kw = dict(
         fs=conf.fs,
         code_rate_cps=conf.code_rate_cps,
         carrier_freq_hz=conf.carrier_freq_hz,
@@ -107,6 +109,17 @@ def build_fused_engine(conf: DllPllConf, interpret: bool | None = None):
         fdma=conf.fdma,
         interpret=interpret,
     )
+    args = (conf.steps_per_block, conf.max_step_samples,
+            conf.code_length_chips, conf.num_taps,
+            np.asarray(tap_offsets_chips(conf)))
+    if os.environ.get("GNSS_SDR_TPU_FUSED", "blocked") != "perchannel":
+        from gnss_sdr_tpu.ops.track_kernel_blocked import (
+            make_fused_tracker_blocked,
+        )
+
+        kern = make_fused_tracker_blocked(*args, **kw)
+        return kern, kern.pack
+    kern = make_fused_tracker_full(*args, **kw)
     if kern.replica == "window2":
         pack = tk.pack_code_table_ext
     else:
@@ -176,7 +189,7 @@ def fused_track_block_packed(
     p_idx = t // 2
     rows_p = kern.rows_p
     length = window_ri.shape[0]
-    pad = (-length) % 128 + rows_p * 128
+    pad = (-length) % 128 + getattr(kern, "pad_rows", rows_p) * 128
     wr = jnp.concatenate(
         [window_ri[:, 0], jnp.zeros((pad,), jnp.float32)]).reshape(-1, 128)
     wi = jnp.concatenate(

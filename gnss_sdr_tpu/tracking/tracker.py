@@ -372,6 +372,16 @@ class Tracker:
             window_len + conf.steps_per_block * conf.max_step_samples
             + 2 * self._fused_kern.rows_p * 128 < 2 ** 24
         )
+        # the blocked kernel's per-period window DMA covers one block of
+        # rows for ALL enabled channels; a pathological position spread
+        # (a laggard channel) falls back to the XLA scan for this block
+        if fused_ok and act:
+            max_spread = getattr(
+                self._fused_kern, "max_spread_samples", None)
+            if max_spread is not None:
+                start_spread = int(rel[act].max() - rel[act].min())
+                drift = conf.steps_per_block * 4    # differential n bound
+                fused_ok = start_spread + drift < max_spread
         if fused_ok:
             from gnss_sdr_tpu.tracking.fused import fused_track_block_packed
 
