@@ -157,8 +157,10 @@ def test_blocked_matches_full_l5_pilot_long_code():
     o1, o2 = _run_pair(full, blk, 4, 10230, nmax, 8, pilot=True, sp=100,
                        sdn=10, lcm=100, extend=2, seed=3)
     # 125k samples/period: f32 reduction-order noise scales with sqrt(N)
-    # (a single wrong chip would show ~1e-2)
-    _assert_close(o1, o2, tol=5e-4)
+    # and feeds back through the DLL over 8 periods (a wrong chip would
+    # show ~1e-2 in the first period alone)
+    _assert_close(o1[:, :2], o2[:, :2], tol=2e-4)
+    _assert_close(o1, o2, tol=2e-3)
 
 
 def test_blocked_matches_full_fdma():
