@@ -63,45 +63,44 @@ def volk_baseline_msps() -> float:
 
 
 def kernel_bench() -> float:
-    """Fused on-chip tracking loop: K=200 code periods x 32 channels per
-    launch with DLL/PLL closure in-kernel — the exact production kernel
-    (make_fused_tracker_full) the live receiver runs, not a benchmark
-    special."""
+    """Fused on-chip tracking loop: K=500 code periods x 32 channels per
+    launch with DLL/PLL closure in-kernel — the exact production
+    channel-blocked kernel (make_fused_tracker_blocked) the live
+    receiver runs, not a benchmark special."""
     import jax
     import jax.numpy as jnp
 
     from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code_table
-    from gnss_sdr_tpu.ops.correlator import pack_code_table
-    from gnss_sdr_tpu.ops.track_kernel import (
-        S_ACC0,
-        make_fused_tracker_full,
+    from gnss_sdr_tpu.ops.track_kernel import S_ACC0
+    from gnss_sdr_tpu.ops.track_kernel_blocked import (
+        make_fused_tracker_blocked,
     )
     from gnss_sdr_tpu.tracking.conf import DllPllConf
     from gnss_sdr_tpu.tracking.dll_pll import tap_offsets_chips
 
     fs = 2.6e6
     channels = 32
-    steps = 200
+    steps = 500
     conf = DllPllConf(
         fs=fs, code_length_chips=1023, code_rate_cps=1.023e6,
         carrier_freq_hz=1575.42e6, max_channels=channels,
         steps_per_block=steps,
     )
-    fused = make_fused_tracker_full(
+    fused = make_fused_tracker_blocked(
         steps, conf.max_step_samples, 1023, conf.num_taps,
         np.asarray(tap_offsets_chips(conf)), fs=fs,
         code_rate_cps=1.023e6, carrier_freq_hz=1575.42e6,
         pll_order=conf.pll_filter_order, dll_order=conf.dll_filter_order,
-        interp_code=conf.interp_code, replica="qloop",
+        interp_code=conf.interp_code,
         interpret=jax.default_backend() not in ("tpu",),
     )
     ns = S_ACC0 + 2 * conf.num_taps + 1
     n_win = conf.window_samples
-    npadw = ((n_win + 127) // 128 + 32) * 128
+    npadw = ((n_win + 127) // 128 + fused.pad_rows + 8) * 128
     rng = np.random.default_rng(0)
     wr = jnp.asarray(rng.normal(size=(npadw // 128, 128)).astype(np.float32))
     wi = jnp.asarray(rng.normal(size=(npadw // 128, 128)).astype(np.float32))
-    codes_q = jnp.asarray(pack_code_table(
+    codes_q = jnp.asarray(fused.pack(
         gps_l1_ca_code_table()[np.arange(channels) % 32].astype(np.float32)))
     scal0 = np.zeros((channels, ns), np.float32)
     scal0[:, 1] = 0.3

@@ -38,8 +38,12 @@ class GnssSynchroMonitor:
         self,
         clients: list[tuple[str, int]],
         decimation: int = 1,
-        mode: str = "binary",     # or "json"
+        mode: str = "binary",     # "binary" | "json" | "protobuf"
     ) -> None:
+        """mode="protobuf" emits the reference's exact proto3 wire format
+        (docs/protobuf/gnss_synchro.proto via monitor/protobuf.py), so
+        gnss-sdr-monitor / reference listeners decode the stream
+        unmodified."""
         self._out = _UdpFanout(clients)
         self.decimation = max(decimation, 1)
         self.mode = mode
@@ -51,6 +55,10 @@ class GnssSynchroMonitor:
             return
         if self.mode == "json":
             self._out.send(synchro_to_json(synchro).encode())
+        elif self.mode == "protobuf":
+            from gnss_sdr_tpu.monitor.protobuf import encode_gnss_synchro
+
+            self._out.send(encode_gnss_synchro(synchro))
         else:
             self._out.send(encode_synchro(synchro))
 
@@ -92,14 +100,24 @@ def decode_monitor_pvt(buf: bytes) -> dict:
 
 
 class MonitorPvtUdpSink:
-    """Per-fix PVT stream (monitor_pvt_udp_sink analog)."""
+    """Per-fix PVT stream (monitor_pvt_udp_sink analog).
 
-    def __init__(self, clients: list[tuple[str, int]], week: int = 0) -> None:
+    protocol="protobuf" emits the reference's MonitorPvt proto3 wire
+    format (docs/protobuf/monitor_pvt.proto)."""
+
+    def __init__(self, clients: list[tuple[str, int]], week: int = 0,
+                 protocol: str = "binary") -> None:
         self._out = _UdpFanout(clients)
         self.week = week
+        self.protocol = protocol
 
     def push(self, sol) -> None:
-        self._out.send(encode_monitor_pvt(sol, self.week))
+        if self.protocol == "protobuf":
+            from gnss_sdr_tpu.monitor.protobuf import encode_monitor_pvt_pb
+
+            self._out.send(encode_monitor_pvt_pb(sol, self.week))
+        else:
+            self._out.send(encode_monitor_pvt(sol, self.week))
 
     def close(self) -> None:
         self._out.close()

@@ -291,8 +291,13 @@ class GalileoScenario:
             # by ~15% at ~Hz rates — which variance-based C/N0 estimators
             # read as ~8 dB of fake noise. A real ADC integrates over the
             # cell; so does this.
+            # centered on ttx: offsets (-1.5, -0.5, +0.5, +1.5) cells.
+            # A one-sided boxcar ([ttx, ttx + 1/fs]) delays the signal by
+            # half a sample (192 ns at 2.6 Msps) — invisible to a
+            # single-constellation solve (absorbed by the rx clock bias)
+            # but read as a ~57 m inter-system bias in a GPS+GAL fix.
             cell = 1.0 / (4.0 * cfg.fs)
-            sub4 = [np.floor((ttx + (j + 0.5) * cell) * sub_rate)
+            sub4 = [np.floor((ttx + (j - 1.5) * cell) * sub_rate)
                     .astype(np.int64) for j in range(4)]
             wave = self._cboc[prn]
             chips = sum(wave[s % sub_len] for s in sub4) / 4.0

@@ -9,9 +9,7 @@ dll_pll_veml_tracking.cc states 2-4 (:1898-2260).
 """
 
 import numpy as np
-import jax
 import jax.numpy as jnp
-import pytest
 
 from gnss_sdr_tpu.ops.correlator import pack_code_table
 from gnss_sdr_tpu.ops.track_kernel import (
@@ -51,8 +49,6 @@ def _run_pair(full, blk, C, L, nmax, K, *, pilot=False, sp=1, sdn=1,
     wrows = (nmax * (K * launches + 2)) // 128 + blk.pad_rows + 8
     wr = jnp.asarray(rng.normal(size=(wrows, 128)).astype(np.float32))
     wi = jnp.asarray(rng.normal(size=(wrows, 128)).astype(np.float32))
-    t = (cq.shape[-2] * 0) if False else None
-    nt = (cb.shape[0], )  # noqa: F841 - shape sanity only
     ns = blk.num_scalars
     ntaps = (ns - S_ACC0 - 1) // 2
     scal = np.zeros((C, ns), np.float32)
