@@ -582,6 +582,12 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
         opt("extend_correlation_symbols",
             f"Tracking_{sig}.extend_correlation_symbols", 0)
     plan = make(**kwargs)
+    # global TOW-aided-tracking switch (reference GNSS-SDR.tow_to_trk,
+    # dll_pll_conf.cc:151): decoder TOW events flow back to the tracker
+    if cfg.property("GNSS-SDR.tow_to_trk", False):
+        from dataclasses import replace as _dc_replace
+
+        plan.trk_conf = _dc_replace(plan.trk_conf, tow_to_trk=True)
 
     # remaining reference acquisition/tracking knobs apply directly onto
     # the built confs (gnss_block_factory.cc passes every Acquisition_XX.*

@@ -628,6 +628,12 @@ class Receiver:
                     gch, prn, ev["tow_s"], ev["sample_stamp"],
                     rem_code_chips=rem,
                 )
+                if plan.trk_conf.tow_to_trk:
+                    # reference telemetry_to_trk message path: TOW +
+                    # samplestamp back to the tracking channel
+                    wn = int(getattr(g.decoders[prn].eph, "week", 0) or 0)
+                    g.tracker.set_tow_from_telemetry(
+                        ch, ev["tow_s"] * 1000.0, wn, ev["sample_stamp"])
                 if self.osnma is not None and plan.system == "E":
                     self.osnma.anchor(gch, ev["tow_s"], ev["sample_stamp"],
                                       plan.trk_conf.fs)

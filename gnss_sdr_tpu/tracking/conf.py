@@ -47,6 +47,9 @@ class DllPllConf:
 
     # FLL pull-in (reference enable_fll_pull_in / fll_bw_hz)
     enable_fll_pull_in: bool = False
+    # TOW-aided tracking: receiver forwards decoder TOW events to the
+    # tracker (reference GNSS-SDR.tow_to_trk, dll_pll_conf.cc:151)
+    tow_to_trk: bool = False
     # 1 ms frequency measurements are noisy (~25 Hz sigma at 45 dB-Hz); the
     # assist gain w0f^2*T must stay well under 1 or the Doppler state random
     # walks — keep the FLL band narrow and hand over to the PLL quickly

@@ -63,6 +63,17 @@ class ChannelControl:
     # loop needs ~1/w0 seconds to unwind the phase error it inherits
     # (reference resets its fail counters on state transitions)
     warmup_until_period: int = 0
+    # TOW-aided tracking (reference telemetry_to_trk message path,
+    # dll_pll_veml_tracking.cc:757 msg_handler_telemetry_to_trk +
+    # :1921-1937): last TOW received from the telemetry decoder and its
+    # projection to the channel's current sample
+    tow_ms_received: float = -1.0
+    tow_wn_received: int = 0
+    tow_sample_stamp: int = 0
+    tow_from_telemetry_ms: float = -1.0
+    wn_from_telemetry: int = 0
+    # telemetry fault (tlm_event == 1): force loss-of-lock next block
+    telemetry_fault: bool = False
 
 
 @dataclass
@@ -412,11 +423,48 @@ class Tracker:
             events.extend((i, e) for e in evs)
         return BlockResult(outputs=host, abs_sample_end=abs_end, events=events)
 
+    # ------------------------------------------------- telemetry_to_trk
+    def set_tow_from_telemetry(self, ch: int, tow_ms: float, wn: int,
+                               sample_stamp: int) -> None:
+        """Async TOW from the telemetry decoder (reference TOW_to_trk
+        message, dll_pll_veml_tracking.cc:771-777)."""
+        ctl = self.ctl[ch]
+        ctl.tow_ms_received = float(tow_ms)
+        ctl.tow_wn_received = int(wn)
+        ctl.tow_sample_stamp = int(sample_stamp)
+
+    def notify_telemetry_fault(self, ch: int) -> None:
+        """Telemetry fault (tlm_event == 1): force loss-of-lock
+        (reference sets d_carrier_lock_fail_counter = 200000)."""
+        self.ctl[ch].telemetry_fault = True
+
+    def _project_tow(self, ch: int) -> None:
+        """Project the received TOW to the channel's current sample
+        (reference dll_pll_veml_tracking.cc:1921-1937)."""
+        conf = self.conf
+        ctl = self.ctl[ch]
+        if ctl.tow_ms_received < 0:
+            return
+        diff_ms = float(
+            (int(self.pos_abs[ch]) - ctl.tow_sample_stamp)
+            * 1000.0 / conf.fs)
+        tow = (ctl.tow_ms_received + diff_ms) % 604800000.0
+        ctl.wn_from_telemetry = ctl.tow_wn_received + (
+            1 if tow < ctl.tow_ms_received else 0)
+        ctl.tow_from_telemetry_ms = tow
+
     # ------------------------------------------------------------------- fsm
     def _update_channel_control(self, ch: int, host: dict) -> list[str]:
         conf = self.conf
         ctl = self.ctl[ch]
         events: list[str] = []
+        if ctl.telemetry_fault:
+            ctl.telemetry_fault = False
+            ctl.phase = ChannelPhase.LOST
+            self.stop_channel(ch)
+            self.ctl[ch].phase = ChannelPhase.LOST
+            return ["loss_of_lock"]
+        self._project_tow(ch)
         prompts = host["prompt"][:, ch]                    # [S] per-period
         signs = np.sign(prompts.real)
         first_period = ctl.total_periods

@@ -288,3 +288,55 @@ def test_pilot_secondary_tracking_l5():
     assert len(got) > 30
     agree = np.mean(np.asarray(got) == np.asarray(truth))
     assert agree == 1.0 or agree == 0.0, agree
+
+
+def test_tow_aided_tracking_projection():
+    """telemetry_to_trk analog: async TOW projects to the current sample
+    (reference dll_pll_veml_tracking.cc:757,1921-1937)."""
+    conf = _make_conf()
+    tracker = Tracker(conf, gps_l1_ca_code_table())
+    rng = np.random.default_rng(4)
+    n = int(FS * 0.5)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(
+        np.complex64) * np.sqrt(0.5)
+    tracker.start_channel(
+        ch=0, prn=7, code_row=6,
+        acq_delay_samples=50.0, acq_doppler_hz=0.0,
+        acq_samplestamp=0, current_abs_sample=0,
+    )
+    # decoder reports TOW 7314.0 s at sample stamp 0
+    tracker.set_tow_from_telemetry(0, 7314000.0, 2345, 0)
+    results = _run_tracking(conf, x, tracker, 3)
+    assert results
+    ctl = tracker.ctl[0]
+    expected = 7314000.0 + tracker.pos_abs[0] * 1000.0 / FS
+    assert ctl.tow_from_telemetry_ms == pytest.approx(expected, abs=1e-6)
+    assert ctl.wn_from_telemetry == 2345
+
+    # week rollover: TOW near end of week wraps and increments WN
+    tracker.set_tow_from_telemetry(0, 604799990.0, 2345, 0)
+    _run_tracking(conf, x[int(tracker.pos_abs[0]):], tracker, 0)
+    tracker._project_tow(0)
+    assert tracker.ctl[0].tow_from_telemetry_ms < 604799990.0
+    assert tracker.ctl[0].wn_from_telemetry == 2346
+
+
+def test_telemetry_fault_forces_loss_of_lock():
+    """tlm_event == 1 forces loss-of-lock (reference
+    msg_handler_telemetry_to_trk, carrier_lock_fail_counter = 200000)."""
+    conf = _make_conf()
+    tracker = Tracker(conf, gps_l1_ca_code_table())
+    rng = np.random.default_rng(5)
+    n = int(FS * 0.3)
+    x = (rng.normal(size=n) + 1j * rng.normal(size=n)).astype(
+        np.complex64) * np.sqrt(0.5)
+    tracker.start_channel(
+        ch=1, prn=3, code_row=2,
+        acq_delay_samples=10.0, acq_doppler_hz=0.0,
+        acq_samplestamp=0, current_abs_sample=0,
+    )
+    tracker.notify_telemetry_fault(1)
+    results = _run_tracking(conf, x, tracker, 2)
+    events = [e for r in results for e in r.events]
+    assert (1, "loss_of_lock") in events
+    assert tracker.ctl[1].phase == ChannelPhase.LOST
