@@ -571,6 +571,8 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
     if sig == "1B":
         opt("early_late_space_chips",
             f"Tracking_{sig}.early_late_space_chips", 0.0)
+        opt("enable_reed_solomon",
+            f"TelemetryDecoder_{sig}.enable_reed_solomon", False)
     elif sig in ("1G", "2G", "SBAS"):
         # integration length is fixed by the symbol structure (GNAV 10 ms
         # meander chip; SBAS 2 ms symbol)

@@ -143,6 +143,14 @@ def gps_l1ca_plan(
     )
 
 
+def _rs_inav(prn: int):
+    """InavDecoder with FEC2 CED assembly enabled (reference
+    TelemetryDecoder_1B.enable_reed_solomon)."""
+    d = InavDecoder(prn)
+    d.enable_reed_solomon()
+    return d
+
+
 def galileo_e1b_plan(
     fs: float,
     num_channels: int = 8,
@@ -158,6 +166,7 @@ def galileo_e1b_plan(
     pull_in_time_s: float = 0.5,
     early_late_space_chips: float = 0.25,
     search_prns: tuple = tuple(range(1, 37)),
+    enable_reed_solomon: bool = False,
 ) -> SignalPlan:
     """Galileo E1-B data channel with a sinBOC(1,1) replica
     (reference adapters Galileo_E1_PCPS_Ambiguous_Acquisition /
@@ -213,7 +222,9 @@ def galileo_e1b_plan(
             steps_per_block=8,          # 8 x 4 ms = 32 ms per device call
             max_channels=num_channels,
         ),
-        make_decoder=InavDecoder,
+        make_decoder=(
+            (lambda prn: _rs_inav(prn)) if enable_reed_solomon
+            else InavDecoder),
         search_prns=search_prns,
     )
 
@@ -1248,6 +1259,7 @@ def galileo_e1bc_plan(
     early_late_space_chips: float = 0.25,
     extend_correlation_symbols: int = 5,
     search_prns: tuple = tuple(range(1, 37)),
+    enable_reed_solomon: bool = False,
 ) -> SignalPlan:
     """Galileo E1 B+C with PILOT tracking (the reference's default E1
     configuration: Galileo_E1_DLL_PLL_VEML_Tracking with track_pilot=true,
@@ -1321,7 +1333,9 @@ def galileo_e1bc_plan(
             steps_per_block=20,
             max_channels=num_channels,
         ),
-        make_decoder=InavDecoder,
+        make_decoder=(
+            (lambda prn: _rs_inav(prn)) if enable_reed_solomon
+            else InavDecoder),
         search_prns=search_prns,
         data_code_table=data_table,
         sec_pilot_table=sec_pilot,

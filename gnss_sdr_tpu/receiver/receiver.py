@@ -642,6 +642,17 @@ class Receiver:
                         log.info("%s%02d: ephemeris complete",
                                  plan.system, prn)
                     self.ephemerides[(plan.system, prn)] = g.decoders[prn].eph
+                elif (getattr(g.decoders[prn], "reduced_ced", None)
+                      is not None
+                      and (plan.system, prn) not in self.ephemerides):
+                    # word-16 reduced CED as a preliminary ephemeris for a
+                    # faster first fix (reference get_reduced_ced path,
+                    # galileo_telemetry_decoder_gs -> PVT); replaced by
+                    # the full CED when it completes
+                    log.info("%s%02d: reduced CED ephemeris",
+                             plan.system, prn)
+                    self.ephemerides[(plan.system, prn)] = (
+                        g.decoders[prn].reduced_ced.compute_eph())
             # OSNMA: drain the decoder's per-page 40-bit fields into the
             # TESLA engine once the ephemeris (the authenticated words +
             # GST week) is known (reference galileo_telemetry_decoder_gs

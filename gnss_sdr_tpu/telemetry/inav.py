@@ -192,7 +192,61 @@ def parse_word(word: np.ndarray, eph: GalileoEphemeris,
         eph.week = _u(word, 73, 12)
         ev["wn"] = eph.week
         ev["tow_s"] = float(_u(word, 85, 20))
+    elif wt == 16:
+        # Reduced Clock and Ephemeris Data (Galileo ICD 2.0 Table 38;
+        # reference galileo_inav_message.cc:1232-1259 case 16)
+        ev["reduced_ced"] = {
+            "delta_a_red": _s(word, 6, 5) * 2.0 ** 8,
+            "ex_red": _s(word, 11, 13) * 2.0 ** -22,
+            "ey_red": _s(word, 24, 13) * 2.0 ** -22,
+            "delta_i0_red": _s(word, 37, 17) * 2.0 ** -22,
+            "omega0_red": _s(word, 54, 23) * 2.0 ** -22,
+            "lambda0_red": _s(word, 77, 23) * 2.0 ** -22,
+            "af0_red": _s(word, 100, 22) * 2.0 ** -26,
+            "af1_red": _s(word, 122, 6) * 2.0 ** -35,
+        }
     return ev
+
+
+# ----------------------------------------------------------- reduced CED
+@dataclass
+class GalileoReducedCed:
+    """Word type 16 reduced CED -> full ephemeris expansion (reference
+    galileo_reduced_ced.cc:22 compute_eph, ICD 2.0 Table 1 nominals)."""
+
+    prn: int = 0
+    iod_nav: int = 0
+    tot_red_ced: float = 0.0          # GST seconds (WN*604800 + TOW)
+    delta_a_red: float = 0.0
+    ex_red: float = 0.0
+    ey_red: float = 0.0
+    delta_i0_red: float = 0.0
+    omega0_red: float = 0.0
+    lambda0_red: float = 0.0
+    af0_red: float = 0.0
+    af1_red: float = 0.0
+
+    def compute_eph(self) -> GalileoEphemeris:
+        import math
+
+        eph = GalileoEphemeris(prn=self.prn)
+        a_nominal = 29600000.0                    # m
+        i_nominal = 56.0                          # deg
+        eph.sqrt_a = math.sqrt(self.delta_a_red + a_nominal)
+        eph.i0 = (self.delta_i0_red + i_nominal / 180.0) * math.pi
+        eph.ecc = math.hypot(self.ex_red, self.ey_red)
+        eph.omega = math.atan2(self.ey_red, self.ex_red)
+        eph.m0 = self.lambda0_red * math.pi - eph.omega
+        eph.omega0 = self.omega0_red * math.pi
+        eph.iod_nav = self.iod_nav
+        t0r = (30 * (int(self.tot_red_ced) // 30) + 1) % 604800
+        eph.toe = float(t0r)
+        eph.toc = float(t0r)
+        eph.af0 = self.af0_red
+        eph.af1 = self.af1_red
+        eph.week = int(self.tot_red_ced) // 604800
+        eph.has_w1 = eph.has_w2 = eph.has_w3 = eph.has_w4 = True
+        return eph
 
 
 def _reset_eph(eph: GalileoEphemeris) -> None:
@@ -255,6 +309,106 @@ class InavDecoder:
         # per-page OSNMA fields (odd part bits 18..58) for the OSNMA
         # engine: (page_end_stamp, 40 bits) per CRC-clean page
         self.osnma_fields: list[tuple[int, np.ndarray]] = []
+        # FEC2 Reed-Solomon CED (ICD 2.0; reference
+        # galileo_inav_message.cc:240-347): 58 info + 60 parity octets
+        # from words 1-4 / 17-20; any 4 of the 8 pages recover the CED
+        self.rs_enabled = False
+        self._rs_buffer = np.zeros(118, dtype=np.int64)
+        self._rs_pages = [0] * 8
+        self._rs_iodnav = 0
+        self.ced_from_rs = False
+        # word type 16 reduced CED
+        self.reduced_ced: GalileoReducedCed | None = None
+        self._last_wn_tow: tuple[int, float] | None = None
+
+    def enable_reed_solomon(self) -> None:
+        """Enable FEC2 erasure assembly of the CED (reference
+        galileo_inav_message.h:270 enable_reed_solomon, config
+        TelemetryDecoder_1B.enable_reed_solomon)."""
+        self.rs_enabled = True
+
+    _RS = None
+
+    @classmethod
+    def _rs_codec(cls):
+        if cls._RS is None:
+            from gnss_sdr_tpu.telemetry.reed_solomon import ReedSolomon
+
+            # RS(255,195) fcr=195 (reference galileo_inav_message.cc:42)
+            cls._RS = ReedSolomon(nroots=60, min_poly=29, prim=1, fcr=195)
+        return cls._RS
+
+    def _rs_reset(self, iod: int) -> None:
+        self._rs_iodnav = iod
+        self._rs_buffer[:] = 0
+        self._rs_pages = [0] * 8
+
+    def _rs_collect(self, wt: int, word: np.ndarray) -> None:
+        """Fill the RS buffer from a CED info or parity word (reference
+        galileo_inav_message.cc:850-1010 / :1261-1350 octet maps)."""
+        buf = self._rs_buffer
+        if 1 <= wt <= 4:
+            iod = _u(word, 6, 10)
+            if self._rs_iodnav == 0:
+                self._rs_iodnav = iod
+            if self._rs_iodnav != iod:
+                self._rs_reset(iod)
+            buf[0] = 4 + self._rs_iodnav % 4       # always known (c_{0,0})
+            if wt == 1:
+                buf[1] = _u(word, 6, 8)            # IODnav 8 MSBs
+                for k in range(14):
+                    buf[2 + k] = _u(word, 16 + 8 * k, 8)
+            else:
+                base = {2: 16, 3: 30, 4: 44}[wt]
+                for k in range(14):
+                    buf[base + k] = _u(word, 16 + 8 * k, 8)
+            self._rs_pages[wt - 1] = 1
+        else:                                      # wt in 17..20
+            iod_lsb = _u(word, 14, 2)
+            if iod_lsb != self._rs_iodnav % 4:
+                # IODnav changed: the stored info pages are stale
+                self._rs_pages[0:4] = [0, 0, 0, 0]
+            base = 58 + (wt - 17) * 15
+            buf[base] = _u(word, 6, 8)
+            for k in range(14):
+                buf[base + 1 + k] = _u(word, 16 + 8 * k, 8)
+            self._rs_pages[4 + (wt - 17)] = 1
+
+    def _rs_try_assemble(self) -> bool:
+        """4 pages in: erasure-decode and parse the regenerated words."""
+        if sum(self._rs_pages) != 4 or self.eph.complete:
+            return False
+        buf = self._rs_buffer
+        u = np.zeros(255, dtype=np.int64)
+        u[0:58] = buf[0:58]
+        u[195:255] = buf[58:118]
+        erasures: list[int] = []
+        spans = [(1, 16), (16, 30), (30, 44), (44, 58)]
+        for i, (a, b) in enumerate(spans):
+            if not self._rs_pages[i]:
+                erasures.extend(range(a, b))       # buf[0] always known
+        for j in range(4):
+            if not self._rs_pages[4 + j]:
+                erasures.extend(range(195 + 15 * j, 195 + 15 * (j + 1)))
+        dec, n = self._rs_codec().decode(u, erasure_pos=erasures)
+        if dec is None:
+            return False
+        # the corrected buffer carries the authoritative IODnav
+        # (8 MSBs in octet 1, 2 LSBs in octet 0)
+        iod = (int(dec[1]) << 2) | (int(dec[0]) & 3)
+        for wt in range(1, 5):
+            if self._rs_pages[wt - 1]:
+                continue
+            w = np.zeros(128, dtype=np.uint8)
+            _put(w, 0, 6, wt)
+            _put(w, 6, 10, iod)
+            base = {1: 2, 2: 16, 3: 30, 4: 44}[wt]
+            for k in range(14):
+                _put(w, 16 + 8 * k, 8, int(dec[base + k]))
+            parse_word(w, self.eph, self.iono)
+        self._rs_pages = [0] * 8
+        self.ced_from_rs = True
+        return True
 
     def push_symbols(self, signs: np.ndarray, stamps: np.ndarray) -> list[dict]:
         """signs: prompt-correlation signs (+-1) at 250 sym/s; stamps:
@@ -325,6 +479,18 @@ class InavDecoder:
                 del self.osnma_fields[:-512]
             word = np.concatenate([even[2:114], odd[2:18]])
             ev = parse_word(word, self.eph, self.iono)
+            wt = ev["word_type"]
+            if self.rs_enabled and (1 <= wt <= 4 or 17 <= wt <= 20):
+                self._rs_collect(wt, word)
+                self._rs_try_assemble()
+            if "reduced_ced" in ev:
+                wn, tow = self._last_wn_tow or (self.eph.week, 0.0)
+                self.reduced_ced = GalileoReducedCed(
+                    prn=self.prn, iod_nav=max(self.eph.iod_nav, 0),
+                    tot_red_ced=wn * 604800.0 + tow + 4.0,
+                    **ev["reduced_ced"])
+            if "tow_s" in ev:
+                self._last_wn_tow = (ev["wn"], ev["tow_s"])
             if "tow_s" in ev:
                 # WT5 TOW marks the start of the page's even part; the odd
                 # part ends 2 s after that
@@ -348,13 +514,41 @@ class InavEncoder:
     SCHEDULE = (2, 4, 5, 1, 3)   # WT5 early so TOW/WN resolve fast
 
     def __init__(self, eph: GalileoEphemeris, iono: GalileoIono | None = None,
-                 tow0_s: float = 0.0, osnma_page_bits=None) -> None:
+                 tow0_s: float = 0.0, osnma_page_bits=None,
+                 schedule: tuple | None = None) -> None:
         """``osnma_page_bits``: optional callable page_index -> 40-bit
-        OSNMA field (8 HKROOT + 32 MACK bits) riding each odd part."""
+        OSNMA field (8 HKROOT + 32 MACK bits) riding each odd part.
+        ``schedule``: override the word-type cycle (word types 16-20 emit
+        the reduced CED and the FEC2 RS parity words)."""
         self.eph = eph
         self.iono = iono or GalileoIono()
         self.tow0 = tow0_s
         self.osnma_page_bits = osnma_page_bits
+        if schedule is not None:
+            self.SCHEDULE = tuple(schedule)
+        self._rs_parity: np.ndarray | None = None
+
+    def _ced_parity(self) -> np.ndarray:
+        """FEC2 RS parity octets from words 1-4 (computed once)."""
+        if self._rs_parity is None:
+            buf = np.zeros(58, dtype=np.int64)
+            iod = self.eph.iod_nav
+            for wt in range(1, 5):
+                w = self._word_bits(wt, 0.0)
+                if wt == 1:
+                    buf[0] = 4 + iod % 4
+                    buf[1] = _u(w, 6, 8)
+                    for k in range(14):
+                        buf[2 + k] = _u(w, 16 + 8 * k, 8)
+                else:
+                    base = {2: 16, 3: 30, 4: 44}[wt]
+                    for k in range(14):
+                        buf[base + k] = _u(w, 16 + 8 * k, 8)
+            info = np.zeros(195, dtype=np.int64)
+            info[0:58] = buf
+            cw = InavDecoder._rs_codec().encode(info)
+            self._rs_parity = cw[195:255]
+        return self._rs_parity
 
     def _word_bits(self, wt: int, tow_s: float) -> np.ndarray:
         w = np.zeros(128, dtype=np.uint8)
@@ -400,6 +594,32 @@ class InavEncoder:
             _put(w, 72, 1, e.e1b_dvs)
             _put(w, 73, 12, e.week)
             _put(w, 85, 20, int(round(tow_s)))
+        elif wt == 16:
+            # reduced CED derived from the full ephemeris (ICD Table 38)
+            import math
+
+            a_nominal = 29600000.0
+            i_nominal = 56.0
+            _put(w, 6, 5, int(round(
+                (e.sqrt_a ** 2 - a_nominal) / 2.0 ** 8)))
+            _put(w, 11, 13, int(round(
+                e.ecc * math.cos(e.omega) / 2.0 ** -22)))
+            _put(w, 24, 13, int(round(
+                e.ecc * math.sin(e.omega) / 2.0 ** -22)))
+            _put(w, 37, 17, int(round(
+                (e.i0 / math.pi - i_nominal / 180.0) / 2.0 ** -22)))
+            _put(w, 54, 23, int(round(e.omega0 / math.pi / 2.0 ** -22)))
+            _put(w, 77, 23, int(round(
+                (e.m0 + e.omega) / math.pi / 2.0 ** -22)))
+            _put(w, 100, 22, int(round(e.af0 / 2.0 ** -26)))
+            _put(w, 122, 6, int(round(e.af1 / 2.0 ** -35)))
+        elif 17 <= wt <= 20:
+            parity = self._ced_parity()
+            base = (wt - 17) * 15
+            _put(w, 6, 8, int(parity[base]))
+            _put(w, 14, 2, e.iod_nav % 4)
+            for k in range(14):
+                _put(w, 16 + 8 * k, 8, int(parity[base + 1 + k]))
         return w
 
     def symbols(self, num_pages: int, start_page: int = 0) -> np.ndarray:

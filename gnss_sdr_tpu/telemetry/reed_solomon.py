@@ -117,25 +117,47 @@ class ReedSolomon:
         ]
 
     # ---------------------------------------------------------------- decode
-    def decode(self, received: np.ndarray):
-        """Returns (info, n_corrected) or (None, -1) on failure."""
+    def decode(self, received: np.ndarray, erasure_pos=None):
+        """Returns (info, n_corrected) or (None, -1) on failure.
+
+        ``erasure_pos``: known-bad symbol indices into ``received``
+        (big-endian, 0 = highest power). With e erasures and nu errors
+        the decoder succeeds when 2*nu + e <= nroots (the reference's
+        decode_rs_8 erasure interface, reed_solomon.cc:773). The Galileo
+        INAV FEC2 CED path uses pure-erasure decoding: any 4 of the 8
+        CED/parity pages (58 info + 60 parity octets) recover the block.
+        """
         gf = self.gf
         r = list(np.asarray(received, dtype=np.int64))
         if len(r) != self.n:
             raise ValueError(f"need {self.n} symbols")
+        erasures = sorted(set(int(p) for p in (erasure_pos or [])))
+        if len(erasures) > self.nroots:
+            return None, -1
         synd = self._syndromes(r)
         if not any(synd):
             return np.asarray(r[: self.k]), 0
 
-        # Berlekamp-Massey: error locator Lambda(z), little-endian
+        # Erasure locator Gamma(z) = prod (1 - X_i z), X_i = a^{power_i}
+        gamma = [1]
+        for j in erasures:
+            power = self.n - 1 - j
+            gamma = gf.poly_mul(gamma, [1, gf.pow_alpha(power)])
+        e = len(erasures)
+
+        # Modified syndromes Xi = S * Gamma mod z^nroots; standard BM on
+        # Xi[e:] finds the ERROR locator Lambda (Forney-Massey method)
+        xi_full = gf.poly_mul(synd, gamma)
+        xi = (xi_full + [0] * self.nroots)[: self.nroots]
+        seq = xi[e:]
         lam = [1]
         b = [1]
         L = 0
-        for n_it in range(self.nroots):
-            delta = synd[n_it]
+        for n_it in range(len(seq)):
+            delta = seq[n_it]
             for i in range(1, L + 1):
                 if i < len(lam):
-                    delta ^= gf.mul(lam[i], synd[n_it - i])
+                    delta ^= gf.mul(lam[i], seq[n_it - i])
             b = [0] + b
             if delta:
                 if 2 * L <= n_it:
@@ -146,42 +168,46 @@ class ReedSolomon:
                 else:
                     lam = _padd(lam, [gf.mul(c, delta) for c in b])
         nerr = len(lam) - 1
-        if nerr == 0 or 2 * nerr > self.nroots:
+        if 2 * nerr + e > self.nroots:
             return None, -1
 
-        # Chien search: roots of Lambda at X_l^{-1}, X_l = a^{n-1-j+pad}
-        # for list index j (big-endian received; pad from shortening)
-        pad = 255 - self.n
+        # total locator covers erasures + errors
+        loc = gf.poly_mul(gamma, lam)
+        n_roots_expected = len(loc) - 1
+        if n_roots_expected == 0:
+            return None, -1
+
+        # Chien search over list positions
         err_idx = []
         for j in range(self.n):
             power = self.n - 1 - j                 # power of x for r[j]
             xl = gf.pow_alpha(power)
-            if gf.poly_eval(lam, gf.inv(xl)) == 0:
+            if gf.poly_eval(loc, gf.inv(xl)) == 0:
                 err_idx.append(j)
-        if len(err_idx) != nerr:
+        if len(err_idx) != n_roots_expected:
             return None, -1
 
-        # Forney: Omega(z) = S(z) Lambda(z) mod z^nroots
-        omega_full = gf.poly_mul(synd, lam)
+        # Forney: Omega(z) = S(z) Loc(z) mod z^nroots
+        omega_full = gf.poly_mul(synd, loc)
         omega = omega_full[: self.nroots]
-        lam_deriv = [lam[i] if i % 2 == 1 else 0
-                     for i in range(1, len(lam))]
+        loc_deriv = [loc[i] if i % 2 == 1 else 0
+                     for i in range(1, len(loc))]
         for j in err_idx:
             power = self.n - 1 - j
             xl = gf.pow_alpha(power)
             xinv = gf.inv(xl)
             num = gf.poly_eval(omega, xinv)
-            den = gf.poly_eval(lam_deriv, xinv)
+            den = gf.poly_eval(loc_deriv, xinv)
             if den == 0:
                 return None, -1
-            # magnitude = X_l^{1-fcr} * Omega(X^-1)/Lambda'(X^-1)
+            # magnitude = X_l^{1-fcr} * Omega(X^-1)/Loc'(X^-1)
             mag = gf.mul(gf.pow_alpha(power * (1 - self.fcr)),
                          gf.div(num, den))
             r[j] ^= mag
 
         if any(self._syndromes(r)):
             return None, -1
-        return np.asarray(r[: self.k]), nerr
+        return np.asarray(r[: self.k]), len(err_idx)
 
 
 def _padd(p: list[int], q: list[int]) -> list[int]:
