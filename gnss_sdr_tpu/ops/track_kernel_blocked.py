@@ -292,7 +292,7 @@ def make_fused_tracker_blocked(
                 return out
 
             def body(i, carry):
-                (pos, rem, dcode, phase0, doppler,
+                (blk_base, pos, rem, dcode, phase0, doppler,
                  pll_i1, pll_i2, dll_i1, dll_i2,
                  icount, acc_n, sec_idx, prev_re, prev_im,
                  accd_re, accd_im, accd_cnt, *acc) = carry
@@ -310,27 +310,41 @@ def make_fused_tracker_blocked(
                 r0 = jnp.floor(pos * jnp.float32(1.0 / LANES))
                 off = pos - r0 * LANES
 
-                # ---- window block DMA (HBM -> VMEM) ----------------------
-                # one DMA of blk_rows covering every enabled channel's rows
-                posm = jnp.min(jnp.where(eng, r0, jnp.float32(1e9)))
+                # ---- double-buffered window DMA (HBM -> VMEM) ------------
+                # pos_new is known from the cheap (C,1) arithmetic alone,
+                # so period i+1's block base is EXACT here: issue its DMA
+                # into the other slot before this period's heavy compute,
+                # wait for the current slot's DMA (issued one period ago),
+                # and the transfer hides behind a full period of work.
+                pos_nxt = jnp.where(eng, pos + n, pos)
+                posm_nxt = jnp.min(jnp.where(
+                    eng, jnp.floor(pos_nxt * jnp.float32(1.0 / LANES)),
+                    jnp.float32(1e9)))
                 spos[...] = jnp.concatenate(
-                    [r0, jnp.full((c, 1), posm)], axis=1)
-                base_row = jnp.clip(
-                    spos[0, 1].astype(jnp.int32),
-                    0, wrows_total - blk_rows)
-                cp_r = pltpu.make_async_copy(
-                    wr_ref.at[pl.ds(base_row, blk_rows)], wbr.at[...], sem_r)
-                cp_i = pltpu.make_async_copy(
-                    wi_ref.at[pl.ds(base_row, blk_rows)], wbi.at[...], sem_i)
-                cp_r.start()
-                cp_i.start()
-                cp_r.wait()
-                cp_i.wait()
+                    [r0, jnp.full((c, 1), posm_nxt)], axis=1)
+                nb = jnp.clip(spos[0, 1].astype(jnp.int32) - 1,
+                              0, wrows_total - blk_rows)
+                slot = (i % 2) * blk_rows
+                nslot = ((i + 1) % 2) * blk_rows
+                cp_cur_r = pltpu.make_async_copy(
+                    wr_ref.at[pl.ds(blk_base, blk_rows)],
+                    wbr.at[pl.ds(slot, blk_rows)], sem_r)
+                cp_cur_i = pltpu.make_async_copy(
+                    wi_ref.at[pl.ds(blk_base, blk_rows)],
+                    wbi.at[pl.ds(slot, blk_rows)], sem_i)
+                cp_cur_r.wait()
+                cp_cur_i.wait()
+                pltpu.make_async_copy(
+                    wr_ref.at[pl.ds(nb, blk_rows)],
+                    wbr.at[pl.ds(nslot, blk_rows)], sem_r).start()
+                pltpu.make_async_copy(
+                    wi_ref.at[pl.ds(nb, blk_rows)],
+                    wbi.at[pl.ds(nslot, blk_rows)], sem_i).start()
 
                 # ---- staging: copy each channel's rows to its block ------
                 def cp(cc, a):
-                    rel = jnp.clip(
-                        spos[cc, 0].astype(jnp.int32) - base_row,
+                    rel = slot + jnp.clip(
+                        spos[cc, 0].astype(jnp.int32) - blk_base,
                         0, blk_rows - rows_p)
                     sxr[pl.ds(cc * rows_p, rows_p), :] = (
                         wbr[pl.ds(rel, rows_p), :])
@@ -593,7 +607,8 @@ def make_fused_tracker_blocked(
                 o_ref[pl.ds(i * c, c), :] = row
 
                 acc_out = [jnp.where(boundary, 0.0, a) for a in acc]
-                return (pos_new, rem_new, dcode_out, phase_new, dop_out,
+                return (nb, pos_new, rem_new, dcode_out, phase_new,
+                        dop_out,
                         pll_i1_n, pll_i2_n, dll_i1_n, dll_i2_n,
                         jnp.where(boundary, 0.0, icount_new),
                         jnp.where(boundary, 0.0, acc_n_new),
@@ -603,7 +618,23 @@ def make_fused_tracker_blocked(
                         jnp.where(data_boundary, 0.0, accd_cnt_new),
                         *acc_out)
 
-            init = tuple(
+            # prologue: issue period 0's block DMA into slot 0
+            pos0 = scal_ref[:, S_POS:S_POS + 1]
+            r0_0 = jnp.floor(pos0 * jnp.float32(1.0 / LANES))
+            posm0 = jnp.min(jnp.where(
+                scal_ref[:, S_EN:S_EN + 1] > 0.5, r0_0, jnp.float32(1e9)))
+            spos[...] = jnp.concatenate(
+                [r0_0, jnp.full((c, 1), posm0)], axis=1)
+            base0 = jnp.clip(spos[0, 1].astype(jnp.int32) - 1,
+                             0, wrows_total - blk_rows)
+            pltpu.make_async_copy(
+                wr_ref.at[pl.ds(base0, blk_rows)],
+                wbr.at[pl.ds(0, blk_rows)], sem_r).start()
+            pltpu.make_async_copy(
+                wi_ref.at[pl.ds(base0, blk_rows)],
+                wbi.at[pl.ds(0, blk_rows)], sem_i).start()
+
+            init = (base0,) + tuple(
                 scal_ref[:, s:s + 1] for s in (
                     S_POS, S_REM, S_DCODE, S_PHASE, S_DOP,
                     S_PLL_I1, S_PLL_I2, S_DLL_I1, S_DLL_I2,
@@ -612,7 +643,15 @@ def make_fused_tracker_blocked(
                     S_ACCD_RE, S_ACCD_IM, S_ACCD_CNT)
             ) + tuple(scal_ref[:, S_ACC0 + jj:S_ACC0 + jj + 1]
                       for jj in range(2 * t))
-            jax.lax.fori_loop(0, n_periods, body, init)
+            final = jax.lax.fori_loop(0, n_periods, body, init)
+            # drain the dangling DMA issued by the last period
+            last_slot = (n_periods % 2) * blk_rows
+            pltpu.make_async_copy(
+                wr_ref.at[pl.ds(final[0], blk_rows)],
+                wbr.at[pl.ds(last_slot, blk_rows)], sem_r).wait()
+            pltpu.make_async_copy(
+                wi_ref.at[pl.ds(final[0], blk_rows)],
+                wbi.at[pl.ds(last_slot, blk_rows)], sem_i).wait()
 
         return kernel
 
@@ -642,8 +681,8 @@ def make_fused_tracker_blocked(
             scratch = [pltpu.VMEM((br, LANES), jnp.float32),
                        pltpu.VMEM((br, LANES), jnp.float32),
                        pltpu.VMEM((c, 2), jnp.float32),
-                       pltpu.VMEM((blk_rows, LANES), jnp.float32),
-                       pltpu.VMEM((blk_rows, LANES), jnp.float32),
+                       pltpu.VMEM((2 * blk_rows, LANES), jnp.float32),
+                       pltpu.VMEM((2 * blk_rows, LANES), jnp.float32),
                        pltpu.SemaphoreType.DMA,
                        pltpu.SemaphoreType.DMA]
             in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]  # scalars
