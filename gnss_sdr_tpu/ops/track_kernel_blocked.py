@@ -214,6 +214,35 @@ def make_fused_tracker_blocked(
         corr = jnp.where(q >= 0.0, jnp.float32(np.pi), jnp.float32(-np.pi))
         return jnp.where(i < 0.0, a + corr, a)
 
+    def _sincos(ph):
+        """Fused sin+cos (Cephes sinf/cosf): one shared range reduction
+        to |r| <= pi/4 + quadrant swap/sign selects — about half the ops
+        of Mosaic's separate sin and cos lowerings on the same input.
+        Max error ~1 ulp against jnp.sin/cos for |ph| < 2^13 rad (the
+        NCO phase here is pre-reduced mod 2pi)."""
+        q = jnp.floor(ph * jnp.float32(2.0 / np.pi) + 0.5)
+        # two-step Cody-Waite: pi/2 = hi + lo keeps the reduced argument
+        # exact to f32 for |q| < 2^11
+        r = ph - q * jnp.float32(1.5707964)
+        r = r - q * jnp.float32(-4.3711388e-8)
+        r2 = r * r
+        # Cephes sinf/cosf minimax polynomials on [-pi/4, pi/4]
+        ps = jnp.float32(-1.9515296e-4)
+        ps = ps * r2 + jnp.float32(8.3321608e-3)
+        ps = ps * r2 + jnp.float32(-1.6666654e-1)
+        sin_r = r + r * r2 * ps
+        pc = jnp.float32(2.443315711809948e-5)
+        pc = pc * r2 + jnp.float32(-1.388731625493765e-3)
+        pc = pc * r2 + jnp.float32(4.166664568298827e-2)
+        cos_r = 1.0 + r2 * (r2 * pc - 0.5)
+        k = q - 4.0 * jnp.floor(q * 0.25)         # quadrant mod 4
+        swap = (k == 1.0) | (k == 3.0)
+        s_sin = jnp.where((k == 2.0) | (k == 3.0), -1.0, 1.0)
+        s_cos = jnp.where((k == 1.0) | (k == 2.0), -1.0, 1.0)
+        sinv = jnp.where(swap, cos_r, sin_r) * s_sin
+        cosv = jnp.where(swap, sin_r, cos_r) * s_cos
+        return sinv, cosv
+
     def make_kernel(c: int):
         br = c * rows_p
 
@@ -368,8 +397,7 @@ def make_fused_tracker_blocked(
                 if fdma:
                     ph = ph - two_pi * jnp.floor(
                         ph * jnp.float32(1.0 / (2.0 * np.pi)))
-                cw = jnp.cos(ph)
-                sw = jnp.sin(ph)
+                sw, cw = _sincos(ph)
                 xr = sxr[...]
                 xi = sxi[...]
                 wr_ = (xr * cw + xi * sw) * mask
