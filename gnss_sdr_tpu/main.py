@@ -138,6 +138,25 @@ def run_from_config(cfg, max_seconds: float | None = None):
         status_display = ChannelStatusDisplay(
             rate_s=(status_rate_ms or 2000) / 1000.0)
 
+    # keyboard listener (reference ControlThread::keyboard_listener,
+    # control_thread.cc:418-426): 'q' + Enter requests a clean stop;
+    # only attached when stdin is an interactive terminal
+    stop_requested = False
+    if cfg.property("GNSS-SDR.keyboard", True):
+        import sys as _sys
+        import threading as _threading
+
+        if _sys.stdin is not None and _sys.stdin.isatty():
+            def _keyboard_listener():
+                nonlocal stop_requested
+                for line in _sys.stdin:
+                    if line.strip().lower() == "q":
+                        stop_requested = True
+                        return
+
+            _threading.Thread(target=_keyboard_listener,
+                              daemon=True).start()
+
     chunk = 1 << 17
     acq_done = False
     reacq_t = 0.0
@@ -165,7 +184,7 @@ def run_from_config(cfg, max_seconds: float | None = None):
             got_any = True
             x = conditioner.process(raw)
             receiver.feed(x.astype(np.complex64), band=b)
-        if not got_any:
+        if not got_any or stop_requested:
             break
         if max_seconds and stream_t() > max_seconds:
             break
