@@ -59,11 +59,22 @@ class PppEngine:
 
     def __init__(self, mode: str = "static",
                  code_sigma_m: float = 1.0, phase_sigma_m: float = 0.01,
-                 pos_q_m: float = 20.0) -> None:
+                 pos_q_m: float = 20.0,
+                 rx_antenna=None, sat_antennas=None,
+                 gps_week: int = 0) -> None:
+        """``rx_antenna``: pvt.antex.AntennaPcv for the receiver
+        (marker->phase-center correction, rtklib antmodel);
+        ``sat_antennas``: {'G01': AntennaPcv, ...} — satellite
+        center-of-mass -> phase-center offsets applied to precise orbits
+        (rtklib satantoff; broadcast ephemerides are already
+        antenna-referenced, so the offset is applied only with SP3)."""
         self.mode = mode
         self.code_sigma = code_sigma_m
         self.phase_sigma = phase_sigma_m
         self.pos_q = pos_q_m
+        self.rx_antenna = rx_antenna
+        self.sat_antennas = sat_antennas or {}
+        self.gps_week = gps_week
         self.x: np.ndarray | None = None     # [x y z clk ztd B_1..B_n]
         self.P: np.ndarray | None = None
         self.amb_index: dict[tuple[str, int], int] = {}
@@ -131,6 +142,12 @@ class PppEngine:
                     if precise is not None else None)
             if prec is not None:
                 p, dts = prec
+                spcv = self.sat_antennas.get(f"{o.system}{o.prn:02d}")
+                if spcv is not None:
+                    from gnss_sdr_tpu.pvt.antex import satantoff
+
+                    p = np.asarray(p) + satantoff(
+                        spcv, np.asarray(p), t, week=self.gps_week)
             else:
                 p, _, dts, _ = eph_to_pos_vel_clock(
                     ephemerides[(o.system, o.prn)], t - tau)
@@ -163,9 +180,23 @@ class PppEngine:
         for o, p_if, l_if, sat in rows:
             rho = float(np.linalg.norm(sat - self.x[:3]))
             e = (sat - self.x[:3]) / rho
-            _, el = az_el(self.x[:3], sat) if np.linalg.norm(
+            az, el = az_el(self.x[:3], sat) if np.linalg.norm(
                 self.x[:3]) > 1e6 else (0.0, np.pi / 2)
             m = _mapping(el)
+            if self.rx_antenna is not None:
+                # iono-free combination of the per-frequency receiver
+                # phase-center corrections (rtklib antmodel + combination
+                # in ppp corr_meas)
+                from gnss_sdr_tpu.pvt.antex import antmodel
+
+                g1, g2 = o.f1_hz ** 2, o.f2_hz ** 2
+                a1, a2 = g1 / (g1 - g2), -g2 / (g1 - g2)
+                f1c = "G01" if o.system == "G" else "E01"
+                f2c = "G02" if o.system == "G" else "E05"
+                d_if = (a1 * antmodel(self.rx_antenna, f1c, az, el)
+                        + a2 * antmodel(self.rx_antenna, f2c, az, el))
+                p_if = p_if - d_if
+                l_if = l_if - d_if
             pred_p = rho + self.x[3] + m * self.x[4]
             row = np.zeros(n)
             row[:3] = -e
