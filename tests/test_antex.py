@@ -73,7 +73,7 @@ def test_antmodel_receiver():
     e_n = math.cos(math.radians(30.0))
     pcv60 = 19.0 * 12 / 18 * 1e-3
     expect = -(0.0007 * e_n + (-0.0012) * 0.0 + 0.1 * e_up) + pcv60
-    assert d30 == pytest.approx(expect, abs=1e-6)
+    assert d30 == pytest.approx(expect, abs=1e-5)  # file prints 0.01 mm
 
 
 def test_satantoff_points_along_nadir():
