@@ -477,22 +477,28 @@ def make_fused_tracker_blocked(
                     d_re, d_im = taps_re[p_idx], taps_im[p_idx]
 
                 # ---- secondary-code wipeoff ------------------------------
+                # Mosaic's gather lowering needs index shape == operand
+                # shape: broadcast the per-channel phase across lanes and
+                # keep lane 0 of the (identical) gathered row
                 sec_i = sec_idx
+
+                def _sec_chip(tbl_ref, period):
+                    idx = (sec_i - jnp.float32(period)
+                           * jnp.floor(sec_i / jnp.float32(period)))
+                    idxb = jnp.broadcast_to(
+                        idx.astype(jnp.int32), (c, LANES))
+                    g = jnp.take_along_axis(tbl_ref[...], idxb, axis=1)
+                    return g[:, 0:1]
+
                 if track_pilot and sp > 1:
-                    idx_p = (sec_i - jnp.float32(sp)
-                             * jnp.floor(sec_i / jnp.float32(sp)))
-                    chip_p = jnp.take_along_axis(
-                        sec_p_ref[...], idx_p.astype(jnp.int32), axis=1)
-                    wipe_p = jnp.where(sec_act > 0.5, chip_p,
+                    wipe_p = jnp.where(sec_act > 0.5,
+                                       _sec_chip(sec_p_ref, sp),
                                        jnp.float32(1.0))
                 else:
                     wipe_p = jnp.float32(1.0)
                 if track_pilot and sd > 1:
-                    idx_d = (sec_i - jnp.float32(sd)
-                             * jnp.floor(sec_i / jnp.float32(sd)))
-                    chip_d = jnp.take_along_axis(
-                        sec_d_ref[...], idx_d.astype(jnp.int32), axis=1)
-                    wipe_d = jnp.where(sec_act > 0.5, chip_d,
+                    wipe_d = jnp.where(sec_act > 0.5,
+                                       _sec_chip(sec_d_ref, sd),
                                        jnp.float32(1.0))
                 else:
                     wipe_d = jnp.float32(1.0)
@@ -724,6 +730,13 @@ def make_fused_tracker_blocked(
             ]
             if track_pilot:
                 in_specs.append(pl.BlockSpec(memory_space=pltpu.VMEM))
+            kwargs = {}
+            if not interpret:
+                # the default 16 MB scoped-VMEM budget is too small for
+                # long-code multi-channel plans (expanded packed tables +
+                # staging + the K*C output); v5e has 128 MB physical
+                kwargs["compiler_params"] = pltpu.CompilerParams(
+                    vmem_limit_bytes=100 * 1024 * 1024)
             calls[key] = pl.pallas_call(
                 make_kernel(c),
                 out_shape=jax.ShapeDtypeStruct((n_periods * c, LANES),
@@ -732,6 +745,7 @@ def make_fused_tracker_blocked(
                 out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
                 scratch_shapes=scratch,
                 interpret=interpret,
+                **kwargs,
             )
         with jax.enable_x64(False):
             if track_pilot:
