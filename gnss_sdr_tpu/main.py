@@ -118,6 +118,32 @@ def run_from_config(cfg, max_seconds: float | None = None):
 
                 receiver.iono = KlobucharParams(alpha=iu.alpha, beta=iu.beta)
 
+    # SUPL A-GNSS assistance (reference assist_GNSS,
+    # control_thread.cc:743-790: SET-initiated SUPL/RRLP session before
+    # the run; same GNSS-SDR.SUPL_* property names)
+    if cfg.property("GNSS-SDR.SUPL_gps_enabled", False):
+        from gnss_sdr_tpu.receiver.supl import SuplClient, SuplConfig
+
+        supl_cfg = SuplConfig(
+            server=cfg.property("GNSS-SDR.SUPL_gps_ephemeris_server",
+                                "supl.google.com"),
+            port=cfg.property("GNSS-SDR.SUPL_gps_ephemeris_port", 7275),
+            mcc=cfg.property("GNSS-SDR.SUPL_MCC", 244),
+            mnc=cfg.property("GNSS-SDR.SUPL_MNC", 5),
+            lac=cfg.property("GNSS-SDR.SUPL_LAC", 0x59E2),
+            ci=cfg.property("GNSS-SDR.SUPL_CI", 0x31D2),
+            request=1,
+        )
+        try:
+            assist = SuplClient(supl_cfg).get_assistance()
+            receiver.ephemerides.update(assist["ephemerides"])
+            if assist["iono"] is not None:
+                receiver.iono = assist["iono"]
+            print(f"SUPL RRLP GPS assistance: "
+                  f"{len(assist['ephemerides'])} ephemerides received")
+        except Exception as e:       # network is best-effort, like the ref
+            print(f"SUPL assistance failed: {e}")
+
     # telecommand server (reference TcpCmdInterface,
     # tcp_cmd_interface.cc:49-62)
     tc_server = None
