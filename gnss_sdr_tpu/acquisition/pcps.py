@@ -419,6 +419,15 @@ class PcpsAcquisition:
         x = np.asarray(x, dtype=np.complex64)
         prn_idx = np.asarray(prn_idx, dtype=np.int32)
         n_real = x.shape[0]
+        # bucket the hypothesis batch to multiples of 8: the number of
+        # untracked PRNs changes as channels fill, and every distinct
+        # batch size would otherwise recompile the grid program (seconds
+        # per shape on a remote-compile runtime)
+        pad8 = (-n_real) % 8
+        if pad8 and n_real > 0:
+            x = np.concatenate([x, np.repeat(x[-1:], pad8, axis=0)])
+            prn_idx = np.concatenate(
+                [prn_idx, np.repeat(prn_idx[-1:], pad8)])
         if self.mesh is not None:
             # pad the hypothesis batch to the mesh size (repeat the last
             # row; the surplus results are dropped below)
