@@ -432,7 +432,7 @@ class PcpsAcquisition:
             # pad the hypothesis batch to the mesh size (repeat the last
             # row; the surplus results are dropped below)
             n_dev = self.mesh.devices.size
-            pad = (-n_real) % n_dev
+            pad = (-x.shape[0]) % n_dev
             if pad:
                 x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)])
                 prn_idx = np.concatenate(
