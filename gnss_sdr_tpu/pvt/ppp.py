@@ -61,13 +61,22 @@ class PppEngine:
                  code_sigma_m: float = 1.0, phase_sigma_m: float = 0.01,
                  pos_q_m: float = 20.0,
                  rx_antenna=None, sat_antennas=None,
-                 gps_week: int = 0) -> None:
+                 gps_week: int = 0,
+                 tide_correction: bool = False,
+                 oload: np.ndarray | None = None,
+                 phase_windup: bool = False) -> None:
         """``rx_antenna``: pvt.antex.AntennaPcv for the receiver
         (marker->phase-center correction, rtklib antmodel);
         ``sat_antennas``: {'G01': AntennaPcv, ...} — satellite
         center-of-mass -> phase-center offsets applied to precise orbits
         (rtklib satantoff; broadcast ephemerides are already
-        antenna-referenced, so the offset is applied only with SP3)."""
+        antenna-referenced, so the offset is applied only with SP3).
+
+        ``tide_correction``: apply solid-earth (+ pole) tide site
+        displacement (rtklib_tides.cc tidedisp, rtklib_ppp.cc
+        tidecorr opt); ``oload``: optional (11, 6) BLQ table adds ocean
+        loading; ``phase_windup``: apply the carrier windup correction
+        (rtklib_rtkcmn.cc windupcorr via rtklib_ppp.cc:1655)."""
         self.mode = mode
         self.code_sigma = code_sigma_m
         self.phase_sigma = phase_sigma_m
@@ -75,6 +84,10 @@ class PppEngine:
         self.rx_antenna = rx_antenna
         self.sat_antennas = sat_antennas or {}
         self.gps_week = gps_week
+        self.tide_correction = tide_correction
+        self.oload = oload
+        self.phase_windup = phase_windup
+        self.phw: dict[tuple[str, int], float] = {}
         self.x: np.ndarray | None = None     # [x y z clk ztd B_1..B_n]
         self.P: np.ndarray | None = None
         self.amb_index: dict[tuple[str, int], int] = {}
@@ -175,11 +188,27 @@ class PppEngine:
             self.P[4, 4] += 1e-8 * dt         # ZTD random walk (3e-4 m/sqrt h)
         self.t_last = t
 
+        # site displacement by earth tides + sun position for windup
+        # (rtklib_ppp.cc ppp_res: rr_ = rr + tidedisp)
+        t_abs = self.gps_week * 604800.0 + t
+        disp = np.zeros(3)
+        rsun = None
+        if (self.tide_correction or self.phase_windup) and \
+                np.linalg.norm(self.x[:3]) > 1e6:
+            from gnss_sdr_tpu.pvt import tides
+
+            if self.tide_correction:
+                disp = tides.tidedisp(t_abs, self.x[:3],
+                                      oload=self.oload, pole=True)
+            if self.phase_windup:
+                rsun, _, _ = tides.sun_moon_ecef(t_abs)
+
         H, v, r = [], [], []
         lat, lon, _ = ecef_to_llh(self.x[:3])
+        rr_disp = self.x[:3] + disp
         for o, p_if, l_if, sat in rows:
-            rho = float(np.linalg.norm(sat - self.x[:3]))
-            e = (sat - self.x[:3]) / rho
+            rho = float(np.linalg.norm(sat - rr_disp))
+            e = (sat - rr_disp) / rho
             az, el = az_el(self.x[:3], sat) if np.linalg.norm(
                 self.x[:3]) > 1e6 else (0.0, np.pi / 2)
             m = _mapping(el)
@@ -197,6 +226,20 @@ class PppEngine:
                         + a2 * antmodel(self.rx_antenna, f2c, az, el))
                 p_if = p_if - d_if
                 l_if = l_if - d_if
+            if rsun is not None:
+                # windup adds phw cycles at both frequencies; the
+                # iono-free phase range shifts by lam_IF * phw where
+                # lam_IF = a1*lam1 + a2*lam2 (rtklib corr_meas applies
+                # -phw*lam per frequency before combining)
+                from gnss_sdr_tpu.pvt.tides import phase_windup as _phw
+
+                key = (o.system, o.prn)
+                phw = _phw(sat, rr_disp, rsun, self.phw.get(key, 0.0))
+                self.phw[key] = phw
+                g1, g2 = o.f1_hz ** 2, o.f2_hz ** 2
+                a1, a2 = g1 / (g1 - g2), -g2 / (g1 - g2)
+                lam_if = a1 * C_LIGHT / o.f1_hz + a2 * C_LIGHT / o.f2_hz
+                l_if = l_if - lam_if * phw
             pred_p = rho + self.x[3] + m * self.x[4]
             row = np.zeros(n)
             row[:3] = -e
