@@ -97,6 +97,10 @@ def run_from_config(cfg, max_seconds: float | None = None):
         pvt_interval_ms=cfg.property("PVT.output_rate_ms", 100),
         enable_pvt_kf=cfg.property("PVT.enable_pvt_kf", False),
         num_devices=cfg.property("GNSS-SDR.num_devices", 0),
+        # reference rtklib_pvt.cc adapter keys (same names/semantics)
+        positioning_mode=cfg.property("PVT.positioning_mode", "Single"),
+        earth_tide=cfg.property("PVT.earth_tide", 0),
+        phwindup=bool(cfg.property("PVT.phwindup", 0)),
     )
     receiver = Receiver(rx_cfg, plans=plans)
     outputs = get_pvt_outputs(cfg)

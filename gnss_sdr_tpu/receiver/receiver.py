@@ -85,6 +85,17 @@ class ReceiverConfig:
     osnma: bool = False
     osnma_public_key: object = None
     osnma_strict: bool = False
+    # positioning engine selection (reference PVT.positioning_mode,
+    # rtklib_pvt.cc:198-226): "Single" = iterated LS + RAIM;
+    # "PPP_Static"/"PPP_Kinematic" refine the LS fix with the
+    # dual-frequency iono-free float PPP filter (pvt/ppp.py) whenever the
+    # epoch carries >=4 satellites observed on two bands
+    positioning_mode: str = "Single"
+    # earth-tide site displacement for PPP modes (PVT.earth_tide,
+    # rtklib_pvt.cc:372: 0 off, 1 solid, 2 solid+otl+pole)
+    earth_tide: int = 0
+    # carrier phase windup correction for PPP modes (PVT.phwindup)
+    phwindup: bool = False
 
 
 @dataclass
@@ -232,6 +243,16 @@ class Receiver:
             from gnss_sdr_tpu.receiver.osnma_rx import OsnmaManager
 
             self.osnma = OsnmaManager(public_key=cfg.osnma_public_key)
+        self.ppp = None
+        if cfg.positioning_mode.startswith("PPP"):
+            from gnss_sdr_tpu.pvt.ppp import PppEngine
+
+            self.ppp = PppEngine(
+                mode=("kinematic" if cfg.positioning_mode == "PPP_Kinematic"
+                      else "static"),
+                tide_correction=cfg.earth_tide > 0,
+                phase_windup=cfg.phwindup,
+            )
 
         # per-band sample stream buffers (absolute indexing; one stream per
         # front-end band, the reference's per-RF-channel SignalSource)
@@ -725,6 +746,8 @@ class Receiver:
                     x0=x0,
                     apply_atmosphere=self.cfg.apply_atmosphere,
                 )
+                if self.ppp is not None and sol.valid:
+                    self._refine_ppp(sol, usable, t_rx)
                 if sol.valid:
                     if not self.status.fixes:
                         log.info(
@@ -758,6 +781,53 @@ class Receiver:
                                  sol.clock_bias_s * 1e3)
                         self.obs.apply_clock_correction(sol.clock_bias_s)
                         self._last_pvt_tow -= sol.clock_bias_s
+
+    def _refine_ppp(self, sol, usable: list, t_rx: float) -> None:
+        """PPP_Static/PPP_Kinematic positioning modes: refine the LS fix
+        with the dual-frequency iono-free float PPP filter when the epoch
+        observes >=4 satellites on two bands (reference
+        PVT.positioning_mode PMODE_PPP_*, rtklib_ppp.cc pppos)."""
+        from gnss_sdr_tpu.pvt.ppp import DualFreqObs
+
+        by_sat: dict = {}
+        for o in usable:
+            f = C_LIGHT / self.obs.ch[o.channel].wavelength_m
+            by_sat.setdefault((o.system, o.prn), []).append((f, o))
+        duals = []
+        for (sys_, prn), lst in by_sat.items():
+            if len(lst) < 2:
+                continue
+            lst.sort(key=lambda x: -x[0])
+            (f1, o1), (f2, o2) = lst[0], lst[-1]
+            if abs(f1 - f2) < 1e6 or not (
+                np.isfinite(o1.carrier_phase_cycles)
+                and np.isfinite(o2.carrier_phase_cycles)
+            ):
+                continue
+            duals.append(DualFreqObs(
+                system=sys_, prn=prn,
+                p1_m=o1.pseudorange_m, p2_m=o2.pseudorange_m,
+                phi1_cycles=o1.carrier_phase_cycles,
+                phi2_cycles=o2.carrier_phase_cycles,
+                f1_hz=f1, f2_hz=f2, cn0_dbhz=o1.cn0_dbhz,
+            ))
+        if len(duals) < 4:
+            return
+        if self.ppp.gps_week == 0:
+            for eph in self.ephemerides.values():
+                wk = int(getattr(eph, "week", 0) or 0)
+                if wk:
+                    self.ppp.gps_week = wk
+                    break
+        psol = self.ppp.process_epoch(
+            t_rx - sol.clock_bias_s, duals, self.ephemerides,
+            x0=sol.pos_ecef)
+        if psol.valid:
+            from gnss_sdr_tpu.pvt.coords import ecef_to_llh
+
+            sol.pos_ecef = psol.pos_ecef
+            sol.lat_rad, sol.lon_rad, sol.height_m = ecef_to_llh(
+                psol.pos_ecef)
 
     def _filter_osnma(self, usable: list) -> list:
         """PVT strict mode: only OSNMA-authenticated Galileo satellites
