@@ -242,12 +242,19 @@ def tide_pole(t_utc_s: float, lat: float, lon: float,
 def tidedisp(t_gps_s: float, rr: np.ndarray, *,
              solid: bool = True, oload: np.ndarray | None = None,
              pole: bool = False, xp_rad: float = 0.0, yp_rad: float = 0.0,
+             erp: np.ndarray | None = None,
              leap_s: float = 18.0) -> np.ndarray:
     """Total tidal site displacement in ECEF meters (tides.cc tidedisp).
 
     ``t_gps_s``: GPS seconds since the GPS epoch (week*604800 + tow).
     ``oload``: optional (11, 6) BLQ table enables ocean loading.
+    ``erp``: optional read_erp() table — supplies the observed pole
+    coordinates for the pole tide and UT1-UTC for the tide arguments.
     """
+    if erp is not None:
+        ev = get_erp(erp, t_gps_s, leap_s)
+        xp_rad, yp_rad = float(ev[0]), float(ev[1])
+        leap_s = leap_s - float(ev[2])          # UTC -> UT1 for the args
     rr = np.asarray(rr, dtype=np.float64)
     rn = float(np.linalg.norm(rr))
     if rn <= 0.0:
@@ -305,6 +312,53 @@ def read_blq(path, station: str) -> np.ndarray | None:
         else:
             i += 1
     return None
+
+
+_GPS0_MJD = 44244.0          # MJD of the GPS epoch 1980-01-06
+
+
+def read_erp(path) -> np.ndarray:
+    """Read an IGS ERP (ver.2) file (rtkcmn readerp).
+
+    Returns rows [mjd, xp_rad, yp_rad, ut1_utc_s, lod_s, xpr_rad_d,
+    ypr_rad_d], sorted by MJD; units converted exactly as the reference
+    (xp/yp 1e-6 as -> rad, ut1/lod 1e-7 s -> s, rates 1e-6 as/d).
+    """
+    rows = []
+    for ln in open(path, encoding="utf-8", errors="replace"):
+        v = ln.split()
+        try:
+            f = [float(x) for x in v[:14]]
+        except ValueError:
+            continue
+        if len(f) < 5:
+            continue
+        f += [0.0] * (14 - len(f))
+        rows.append([f[0], f[1] * 1e-6 * _AS2R, f[2] * 1e-6 * _AS2R,
+                     f[3] * 1e-7, f[4] * 1e-7,
+                     f[12] * 1e-6 * _AS2R, f[13] * 1e-6 * _AS2R])
+    out = np.asarray(rows)
+    return out[np.argsort(out[:, 0])] if len(rows) else out.reshape(0, 7)
+
+
+def get_erp(erp: np.ndarray, t_gps_s: float,
+            leap_s: float = 18.0) -> np.ndarray:
+    """Interpolate [xp_rad, yp_rad, ut1_utc_s, lod_s] at a GPS time
+    (rtkcmn geterp: linear between daily values, rate extrapolation
+    outside the table)."""
+    if erp is None or len(erp) == 0:
+        return np.zeros(4)
+    mjd = _GPS0_MJD + gps_to_utc_s(t_gps_s, leap_s) / 86400.0
+    if mjd <= erp[0, 0] or mjd >= erp[-1, 0]:
+        r = erp[0] if mjd <= erp[0, 0] else erp[-1]
+        day = mjd - r[0]
+        return np.array([r[1] + r[5] * day, r[2] + r[6] * day,
+                         r[3] - r[4] * day, r[4]])
+    j = int(np.searchsorted(erp[:, 0], mjd) - 1)
+    d = erp[j + 1, 0] - erp[j, 0]
+    a = 0.5 if d == 0 else (mjd - erp[j, 0]) / d
+    v = (1 - a) * erp[j] + a * erp[j + 1]
+    return np.array([v[1], v[2], v[3], v[4]])
 
 
 def phase_windup(rs: np.ndarray, rr: np.ndarray, rsun: np.ndarray,

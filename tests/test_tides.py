@@ -111,6 +111,40 @@ $$ M2 S2 N2 K2 K1 O1 P1 Q1 MF MM SSA
     assert np.linalg.norm(denu) < 0.02
 
 
+def test_erp_read_and_interpolate(tmp_path):
+    # IGS ERP ver.2 layout: MJD Xpole Ypole UT1-UTC LOD ... (units 1e-6
+    # as / 1e-7 s), header lines without >=5 numeric fields are skipped
+    erp_txt = """version 2
+EOP  SOLUTION
+  MJD         X        Y     UT1-UTC    LOD   Xsig  Ysig  UTsig LODsig  Nr Nf Nt    Xrt    Yrt  Xrtsig Yrtsig
+               10**-6as             10**-7s           10**-6as    10**-7s                 10**-6as/d
+59275.00   55123   348672   -1753212   6311     18     15      8     41  23 12  9    812   -2310     42     51
+59276.00   55310   348412   -1759523   6290     18     15      8     41  23 12  9    805   -2295     42     51
+"""
+    p = tmp_path / "igu.erp"
+    p.write_text(erp_txt)
+    erp = tides.read_erp(p)
+    assert erp.shape == (2, 7)
+    assert abs(erp[0, 0] - 59275.0) < 1e-9
+    # units: 55123e-6 as -> rad
+    assert abs(erp[0, 1] - 55123e-6 * np.pi / 180 / 3600) < 1e-15
+    assert abs(erp[0, 3] - (-0.1753212)) < 1e-9       # UT1-UTC seconds
+    # midday between the two rows: linear interpolation
+    t_mid = ((59275.5 - 44244.0) * 86400.0) + 18.0    # GPS time at MJD .5
+    v = tides.get_erp(erp, t_mid)
+    assert abs(v[0] - 0.5 * (erp[0, 1] + erp[1, 1])) < 1e-15
+    assert abs(v[2] - 0.5 * (erp[0, 3] + erp[1, 3])) < 1e-9
+    # extrapolation before the table uses the rate columns
+    t_before = ((59274.0 - 44244.0) * 86400.0) + 18.0
+    vb = tides.get_erp(erp, t_before)
+    assert abs(vb[0] - (erp[0, 1] - erp[0, 5])) < 1e-15
+    # pole tide sees the observed pole through tidedisp(erp=...)
+    rr = np.array([4075580.0, 931854.0, 4801568.0])
+    d_obs = tides.tidedisp(t_mid, rr, pole=True, erp=erp)
+    d_zero = tides.tidedisp(t_mid, rr, pole=True)
+    assert np.linalg.norm(d_obs - d_zero) > 1e-5      # xp/yp changed it
+
+
 def test_phase_windup_continuity_and_rotation():
     rr = np.array([4075580.0, 931854.0, 4801568.0])
     t = _gps_s(datetime(2021, 3, 1, 6))
