@@ -64,7 +64,8 @@ class PppEngine:
                  gps_week: int = 0,
                  tide_correction: bool = False,
                  oload: np.ndarray | None = None,
-                 phase_windup: bool = False) -> None:
+                 phase_windup: bool = False,
+                 exclude_eclipse: bool = False) -> None:
         """``rx_antenna``: pvt.antex.AntennaPcv for the receiver
         (marker->phase-center correction, rtklib antmodel);
         ``sat_antennas``: {'G01': AntennaPcv, ...} — satellite
@@ -76,7 +77,9 @@ class PppEngine:
         displacement (rtklib_tides.cc tidedisp, rtklib_ppp.cc
         tidecorr opt); ``oload``: optional (11, 6) BLQ table adds ocean
         loading; ``phase_windup``: apply the carrier windup correction
-        (rtklib_rtkcmn.cc windupcorr via rtklib_ppp.cc:1655)."""
+        (rtklib_rtkcmn.cc windupcorr via rtklib_ppp.cc:1655);
+        ``exclude_eclipse``: drop satellites inside the earth's shadow
+        cylinder (rtklib_ppp.cc testeclipse)."""
         self.mode = mode
         self.code_sigma = code_sigma_m
         self.phase_sigma = phase_sigma_m
@@ -87,6 +90,7 @@ class PppEngine:
         self.tide_correction = tide_correction
         self.oload = oload
         self.phase_windup = phase_windup
+        self.exclude_eclipse = exclude_eclipse
         self.phw: dict[tuple[str, int], float] = {}
         self.x: np.ndarray | None = None     # [x y z clk ztd B_1..B_n]
         self.P: np.ndarray | None = None
@@ -193,15 +197,23 @@ class PppEngine:
         t_abs = self.gps_week * 604800.0 + t
         disp = np.zeros(3)
         rsun = None
-        if (self.tide_correction or self.phase_windup) and \
+        if (self.tide_correction or self.phase_windup
+                or self.exclude_eclipse) and \
                 np.linalg.norm(self.x[:3]) > 1e6:
             from gnss_sdr_tpu.pvt import tides
 
             if self.tide_correction:
                 disp = tides.tidedisp(t_abs, self.x[:3],
                                       oload=self.oload, pole=True)
-            if self.phase_windup:
+            if self.phase_windup or self.exclude_eclipse:
                 rsun, _, _ = tides.sun_moon_ecef(t_abs)
+            if self.exclude_eclipse and rsun is not None:
+                kept = [rw for rw in rows
+                        if not tides.in_eclipse(rw[3], rsun)]
+                if len(kept) >= 4:
+                    rows = kept
+                if not self.phase_windup:
+                    rsun = None
 
         H, v, r = [], [], []
         lat, lon, _ = ecef_to_llh(self.x[:3])

@@ -314,6 +314,22 @@ def read_blq(path, station: str) -> np.ndarray | None:
     return None
 
 
+def in_eclipse(rs: np.ndarray, rsun: np.ndarray) -> bool:
+    """True when the satellite is inside the earth's shadow cylinder
+    (rtklib_ppp.cc testeclipse:856-865): sun-earth-satellite angle past
+    90 deg and perpendicular distance to the earth-sun axis under one
+    earth radius. PPP excludes such satellites — their yaw attitude
+    (hence windup/PCO) is unpredictable during eclipse maneuvers."""
+    rs = np.asarray(rs, dtype=np.float64)
+    r = float(np.linalg.norm(rs))
+    sn = float(np.linalg.norm(rsun))
+    if r <= 0.0 or sn <= 0.0:
+        return False
+    cosa = float(np.clip(rs @ rsun / (r * sn), -1.0, 1.0))
+    ang = np.arccos(cosa)
+    return ang >= np.pi / 2.0 and r * np.sin(ang) <= _RE
+
+
 _GPS0_MJD = 44244.0          # MJD of the GPS epoch 1980-01-06
 
 

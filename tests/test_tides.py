@@ -166,6 +166,63 @@ def test_phase_windup_continuity_and_rotation():
     assert abs((ph2 - vals[-1]) - round(ph2 - vals[-1])) < 1e-9
 
 
+def test_in_eclipse_geometry():
+    rsun = np.array([1.496e11, 0.0, 0.0])
+    # satellite on the anti-sun side inside the shadow cylinder
+    assert tides.in_eclipse(np.array([-26560e3, 2.0e6, 1.0e6]), rsun)
+    # same side as the sun: never eclipsed
+    assert not tides.in_eclipse(np.array([26560e3, 0.0, 0.0]), rsun)
+    # anti-sun but far off-axis (> 1 earth radius)
+    assert not tides.in_eclipse(np.array([-20.0e6, 17.0e6, 0.0]), rsun)
+
+
+def test_ppp_excludes_eclipsed_satellite():
+    """An eclipsed satellite's rows are dropped from the PPP update
+    (rtklib testeclipse analog)."""
+    from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT
+    from gnss_sdr_tpu.pvt.ppp import DualFreqObs, PppEngine
+
+    week = 2150
+    t = 1000.0
+    t_abs = week * 604800.0 + t
+    rsun, _, _ = tides.sun_moon_ecef(t_abs)
+    esun = rsun / np.linalg.norm(rsun)
+    rr = np.array([4075580.0, 931854.0, 4801568.0])
+    # 5 healthy satellites + 1 deep in the shadow cylinder
+    sats = []
+    for k in range(5):
+        th = 2 * np.pi * k / 5
+        z = 0.4 + 0.1 * k
+        sats.append(26560e3 * np.array([
+            np.sqrt(1 - z * z) * np.cos(th),
+            np.sqrt(1 - z * z) * np.sin(th), z]))
+    perp = np.cross(esun, [0.0, 0.0, 1.0])
+    perp /= np.linalg.norm(perp)
+    sats.append(-26560e3 * esun + 2.0e6 * perp)
+    assert tides.in_eclipse(sats[-1], rsun)
+
+    f1, f2 = 1575.42e6, 1176.45e6
+    eng = PppEngine(gps_week=week, exclude_eclipse=True)
+
+    class _Prec:
+        def __init__(self, table):
+            self.table = table
+
+        def sat_pos_clock(self, system, prn, tt):
+            return self.table[(system, prn)], 0.0
+
+    prec = _Prec({("G", k + 1): sats[k] for k in range(6)})
+    obs = []
+    for k in range(6):
+        rho = np.linalg.norm(sats[k] - rr)
+        obs.append(DualFreqObs(
+            "G", k + 1, rho, rho,
+            -rho / (C_LIGHT / f1), -rho / (C_LIGHT / f2), f1, f2))
+    sol = eng.process_epoch(t, obs, {}, x0=rr, precise=prec)
+    assert sol.valid
+    assert sol.num_sats == 5          # the eclipsed satellite was dropped
+
+
 def test_ppp_with_tides_converges():
     """PppEngine with tide+windup corrections still locks cm-level on a
     synthetic truth that includes the modeled tide displacement."""
