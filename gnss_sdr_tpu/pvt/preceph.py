@@ -126,18 +126,73 @@ def write_sp3(path: str | Path, data: Sp3Data) -> None:
     Path(path).write_text("\n".join(lines) + "\n")
 
 
+@dataclass
+class ClkData:
+    """Parsed RINEX clock product: per-satellite sampled clock biases."""
+
+    week: int = 0
+    # (system, prn) -> ([N] TOW s, [N] bias s), sorted by time
+    clk: dict = field(default_factory=dict)
+
+
+def read_clk(path: str | Path) -> ClkData:
+    """RINEX clock (CLK 3.x) reader — AS (satellite) records only.
+
+    Reference analog: rtklib_rinex.cc readrnxc. Precise CLK products
+    sample the satellite clocks far denser (30 s / 5 min) than SP3's
+    15 min epochs; PPP uses them in place of the SP3 clock column
+    (EPHOPT_PREC clock source precedence).
+    """
+    out = ClkData()
+    raw: dict[tuple, list] = {}
+    in_header = True
+    with open(path) as f:
+        for line in f:
+            if in_header:
+                if "END OF HEADER" in line:
+                    in_header = False
+                continue
+            if not line.startswith("AS "):
+                continue
+            name = line[3:7].strip()
+            try:
+                sys_c, prn = name[0], int(name[1:3])
+                p = line[8:].split()
+                y, mo, d, h, mi = (int(p[0]), int(p[1]), int(p[2]),
+                                   int(p[3]), int(p[4]))
+                s = float(p[5])
+                bias = float(p[7])
+            except (ValueError, IndexError):
+                continue
+            week, tow = _tow_from_ymdhms(y, mo, d, h, mi, s)
+            if not raw and out.week == 0:
+                out.week = week
+            tow += (week - out.week) * 7 * 86400.0
+            raw.setdefault((sys_c, prn), []).append((tow, bias))
+    for k, rows in raw.items():
+        rows.sort()
+        a = np.asarray(rows)
+        out.clk[k] = (a[:, 0], a[:, 1])
+    return out
+
+
 class PreciseEphemeris:
     """Orbit/clock interpolation over an SP3 product
     (rtklib_preceph.cc pephpos analog: NMAX-point Neville polynomial for
-    position, linear for clock)."""
+    position, linear for clock). An optional RINEX clock product
+    overrides the SP3 clock column (rtklib peph2pos clock precedence)."""
 
-    def __init__(self, data: Sp3Data, order: int = 10) -> None:
+    def __init__(self, data: Sp3Data, order: int = 10,
+                 clk: ClkData | None = None) -> None:
         self.data = data
         self.order = order
+        self.clk = clk
 
     @classmethod
-    def load(cls, path: str | Path, order: int = 10) -> "PreciseEphemeris":
-        return cls(read_sp3(path), order=order)
+    def load(cls, path: str | Path, order: int = 10,
+             clk_path: str | Path | None = None) -> "PreciseEphemeris":
+        return cls(read_sp3(path), order=order,
+                   clk=read_clk(clk_path) if clk_path else None)
 
     def sat_pos_clock(self, system: str, prn: int,
                       t_tow: float) -> tuple[np.ndarray, float] | None:
@@ -159,7 +214,12 @@ class PreciseEphemeris:
         if np.isnan(pp).any():
             return None
         p_out = np.array([_neville(tt, pp[:, k], t_tow) for k in range(3)])
-        # clock: linear between bracketing finite samples
+        # clock: the dense RINEX CLK product wins over the SP3 column
+        if self.clk is not None and key in self.clk.clk:
+            ct, cb = self.clk.clk[key]
+            if ct[0] - 300 <= t_tow <= ct[-1] + 300:
+                return p_out, float(np.interp(t_tow, ct, cb))
+        # SP3 clock: linear between bracketing finite samples
         ok = np.isfinite(clk)
         if not ok.any():
             c_out = 0.0

@@ -123,3 +123,50 @@ def test_ppp_with_precise_orbits():
     err_b = np.linalg.norm(sol_b.pos_ecef - rx)
     assert err_p < 0.5, err_p
     assert err_b > 4.0 * err_p, (err_b, err_p)
+
+
+def test_rinex_clk_reader_and_override(tmp_path):
+    """RINEX CLK (AS records) parse + precedence over the SP3 clock
+    column (rtklib readrnxc / peph2pos clock source)."""
+    from gnss_sdr_tpu.pvt.preceph import read_clk
+
+    # week 2200 starts 2022-03-06 00:00:00 GPS; epochs at tow 7200+30k
+    lines = [
+        "     3.00           C                   RINEX VERSION / TYPE",
+        "ccl v1.0            ref                 PGM / RUN BY / DATE",
+        "                                        END OF HEADER",
+    ]
+    t_base = 7200.0
+    biases = {}
+    for k in range(9):
+        tow = t_base + 30.0 * k
+        h, rem = divmod(tow, 3600.0)
+        mi, s = divmod(rem, 60.0)
+        for prn in (5, 17):
+            b = 1.0e-4 + prn * 1e-6 + 2e-9 * k
+            biases.setdefault(prn, []).append((tow, b))
+            lines.append(
+                f"AS G{prn:02d}  2022 03 06 {int(h):02d} {int(mi):02d}"
+                f" {s:9.6f}  2    {b:.12E}  1.0E-11")
+    p = tmp_path / "test.clk"
+    p.write_text("\n".join(lines) + "\n")
+    clk = read_clk(p)
+    assert set(clk.clk) == {("G", 5), ("G", 17)}
+    ct, cb = clk.clk[("G", 5)]
+    assert len(ct) == 9 and abs(ct[0] - t_base) < 1e-6
+    assert abs(cb[0] - (1.0e-4 + 5e-6)) < 1e-15
+
+    # SP3 with a deliberately WRONG clock column; CLK wins
+    ephs = make_constellation(seed=3)
+    sp3 = _sp3_from_broadcast(ephs, [5], t0=7200.0, week=2200,
+                              clk_override=lambda prn, t: 5e-3)
+    pe = PreciseEphemeris(sp3, clk=clk)
+    pos, c = pe.sat_pos_clock("G", 5, t_base + 45.0)
+    want = 1.0e-4 + 5e-6 + 2e-9 * 1.5          # linear midpoint
+    assert abs(c - want) < 1e-12
+    # satellite absent from the CLK product falls back to SP3
+    sp3b = _sp3_from_broadcast(ephs, [9], t0=7200.0, week=2200,
+                               clk_override=lambda prn, t: 5e-3)
+    pe2 = PreciseEphemeris(sp3b, clk=clk)
+    _, c2 = pe2.sat_pos_clock("G", 9, t_base + 45.0)
+    assert abs(c2 - 5e-3) < 1e-12
