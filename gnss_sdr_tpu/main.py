@@ -67,6 +67,22 @@ def _build_chains(cfg):
     return chains
 
 
+def _load_blq(cfg):
+    """Optional ocean-loading table: PVT.blq_file + PVT.blq_station
+    (our extension over the reference's earth_tide knob, which compiles
+    rtklib's otl path but never feeds it a table)."""
+    path = cfg.property("PVT.blq_file", "")
+    if not path:
+        return None
+    from gnss_sdr_tpu.pvt.tides import read_blq
+
+    station = cfg.property("PVT.blq_station", "")
+    table = read_blq(path, station)
+    if table is None:
+        raise ValueError(f"station {station!r} not found in {path}")
+    return table
+
+
 def run_from_config(cfg, max_seconds: float | None = None):
     """Run the full receiver from a ConfigurationInterface; returns status.
 
@@ -97,10 +113,12 @@ def run_from_config(cfg, max_seconds: float | None = None):
         pvt_interval_ms=cfg.property("PVT.output_rate_ms", 100),
         enable_pvt_kf=cfg.property("PVT.enable_pvt_kf", False),
         num_devices=cfg.property("GNSS-SDR.num_devices", 0),
-        # reference rtklib_pvt.cc adapter keys (same names/semantics)
+        # reference rtklib_pvt.cc adapter keys (same names/semantics);
+        # bool default so both `1` and `true` conf spellings parse
         positioning_mode=cfg.property("PVT.positioning_mode", "Single"),
         earth_tide=cfg.property("PVT.earth_tide", 0),
-        phwindup=bool(cfg.property("PVT.phwindup", 0)),
+        phwindup=cfg.property("PVT.phwindup", False),
+        blq=_load_blq(cfg),
     )
     receiver = Receiver(rx_cfg, plans=plans)
     outputs = get_pvt_outputs(cfg)

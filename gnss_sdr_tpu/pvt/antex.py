@@ -113,26 +113,15 @@ def antmodel(pcv: AntennaPcv, freq: str, az_rad: float, el_rad: float,
 
 
 def sun_position_ecef(t_gps_s: float, week: int = 0) -> np.ndarray:
-    """Low-precision solar ephemeris in ECEF metres (rtklib sunmoonpos,
-    rtklib_rtkcmn.cc; accuracy ~0.01 deg — ample for the satellite yaw
-    frame). ``t_gps_s``: GPS seconds of week; ``week``: GPS week."""
-    # days since J2000 (GPS epoch 1980-01-06; J2000 = GPS week 1042.5 + …)
-    t = (week * 604800.0 + t_gps_s - 630763200.0) / 86400.0  # from J2000
-    # mean anomaly, ecliptic longitude of the sun (deg)
-    g = math.radians((357.529 + 0.98560028 * t) % 360.0)
-    q = (280.459 + 0.98564736 * t) % 360.0
-    lam = math.radians(q + 1.915 * math.sin(g) + 0.020 * math.sin(2 * g))
-    eps = math.radians(23.439 - 0.00000036 * t)
-    r_au = 1.00014 - 0.01671 * math.cos(g) - 0.00014 * math.cos(2 * g)
-    r = r_au * 149597870700.0
-    # ECI (mean equator/equinox of date)
-    x = r * math.cos(lam)
-    y = r * math.sin(lam) * math.cos(eps)
-    z = r * math.sin(lam) * math.sin(eps)
-    # GMST (deg) -> rotate ECI to ECEF about Z
-    gmst = math.radians((280.46061837 + 360.98564736629 * t) % 360.0)
-    cg, sg = math.cos(gmst), math.sin(gmst)
-    return np.array([cg * x + sg * y, -sg * x + cg * y, z])
+    """Low-precision solar ephemeris in ECEF metres (rtklib sunmoonpos;
+    accuracy ~0.01 deg — ample for the satellite yaw frame).
+    ``t_gps_s``: GPS seconds of week; ``week``: GPS week. One sun model
+    for the whole pvt package: delegates to pvt.tides.sun_moon_ecef so
+    the PCO yaw frame, phase windup and eclipse tests all agree."""
+    from gnss_sdr_tpu.pvt.tides import sun_moon_ecef
+
+    rsun, _, _ = sun_moon_ecef(week * 604800.0 + t_gps_s)
+    return rsun
 
 
 def satantoff(pcv: AntennaPcv, sat_pos: np.ndarray, t_gps_s: float,

@@ -23,6 +23,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
+from gnss_sdr_tpu.pvt import tides
+from gnss_sdr_tpu.pvt.antex import antmodel, satantoff
 from gnss_sdr_tpu.pvt.coords import az_el, ecef_to_llh
 from gnss_sdr_tpu.pvt.ephemeris import C_LIGHT, OMEGA_E, eph_to_pos_vel_clock
 
@@ -65,6 +67,7 @@ class PppEngine:
                  tide_correction: bool = False,
                  oload: np.ndarray | None = None,
                  phase_windup: bool = False,
+                 pole_tide: bool = False,
                  exclude_eclipse: bool = False) -> None:
         """``rx_antenna``: pvt.antex.AntennaPcv for the receiver
         (marker->phase-center correction, rtklib antmodel);
@@ -78,8 +81,14 @@ class PppEngine:
         tidecorr opt); ``oload``: optional (11, 6) BLQ table adds ocean
         loading; ``phase_windup``: apply the carrier windup correction
         (rtklib_rtkcmn.cc windupcorr via rtklib_ppp.cc:1655);
+        ``pole_tide``: add ocean-loading/pole-tide class corrections to
+        the solid tide (the reference's PVT.earth_tide=2 tier);
         ``exclude_eclipse``: drop satellites inside the earth's shadow
-        cylinder (rtklib_ppp.cc testeclipse)."""
+        cylinder (rtklib_ppp.cc testeclipse).
+
+        The tide/windup/eclipse corrections need absolute GPS time and
+        are skipped (with the filter otherwise unaffected) until
+        ``gps_week`` is known (> 0)."""
         self.mode = mode
         self.code_sigma = code_sigma_m
         self.phase_sigma = phase_sigma_m
@@ -90,6 +99,7 @@ class PppEngine:
         self.tide_correction = tide_correction
         self.oload = oload
         self.phase_windup = phase_windup
+        self.pole_tide = pole_tide
         self.exclude_eclipse = exclude_eclipse
         self.phw: dict[tuple[str, int], float] = {}
         self.x: np.ndarray | None = None     # [x y z clk ztd B_1..B_n]
@@ -141,7 +151,9 @@ class PppEngine:
         if self.x is None:
             self._init(np.zeros(3) if x0 is None else np.asarray(x0))
 
-        # iono-free combinations + satellite geometry
+        # iono-free combinations + satellite geometry; each row carries
+        # its combination coefficients (a1, a2) for the downstream
+        # antenna/windup corrections
         rows = []
         for o in usable:
             g1 = o.f1_hz ** 2
@@ -161,8 +173,6 @@ class PppEngine:
                 p, dts = prec
                 spcv = self.sat_antennas.get(f"{o.system}{o.prn:02d}")
                 if spcv is not None:
-                    from gnss_sdr_tpu.pvt.antex import satantoff
-
                     p = np.asarray(p) + satantoff(
                         spcv, np.asarray(p), t, week=self.gps_week)
             else:
@@ -173,12 +183,12 @@ class PppEngine:
                             [-np.sin(th), np.cos(th), 0.0],
                             [0.0, 0.0, 1.0]])
             rows.append((o, p_if + C_LIGHT * dts, l_if + C_LIGHT * dts,
-                         rot @ p))
+                         rot @ p, a1, a2))
 
         keys = [(o.system, o.prn) for o, *_ in rows]
         b_init = {
             (o.system, o.prn): l_if - p_if
-            for o, p_if, l_if, _ in rows
+            for o, p_if, l_if, *_ in rows
         }
         self._ensure(keys, b_init)
         n = len(self.x)
@@ -193,18 +203,20 @@ class PppEngine:
         self.t_last = t
 
         # site displacement by earth tides + sun position for windup
-        # (rtklib_ppp.cc ppp_res: rr_ = rr + tidedisp)
+        # (rtklib_ppp.cc ppp_res: rr_ = rr + tidedisp). All three need
+        # absolute GPS time: without a known week, t_abs would place the
+        # epoch in January 1980 and the "corrections" would be
+        # wrong-epoch noise — skip until gps_week arrives.
         t_abs = self.gps_week * 604800.0 + t
         disp = np.zeros(3)
         rsun = None
         if (self.tide_correction or self.phase_windup
-                or self.exclude_eclipse) and \
+                or self.exclude_eclipse) and self.gps_week > 0 and \
                 np.linalg.norm(self.x[:3]) > 1e6:
-            from gnss_sdr_tpu.pvt import tides
-
             if self.tide_correction:
                 disp = tides.tidedisp(t_abs, self.x[:3],
-                                      oload=self.oload, pole=True)
+                                      oload=self.oload,
+                                      pole=self.pole_tide)
             if self.phase_windup or self.exclude_eclipse:
                 rsun, _, _ = tides.sun_moon_ecef(t_abs)
             if self.exclude_eclipse and rsun is not None:
@@ -218,7 +230,7 @@ class PppEngine:
         H, v, r = [], [], []
         lat, lon, _ = ecef_to_llh(self.x[:3])
         rr_disp = self.x[:3] + disp
-        for o, p_if, l_if, sat in rows:
+        for o, p_if, l_if, sat, a1, a2 in rows:
             rho = float(np.linalg.norm(sat - rr_disp))
             e = (sat - rr_disp) / rho
             az, el = az_el(self.x[:3], sat) if np.linalg.norm(
@@ -228,10 +240,6 @@ class PppEngine:
                 # iono-free combination of the per-frequency receiver
                 # phase-center corrections (rtklib antmodel + combination
                 # in ppp corr_meas)
-                from gnss_sdr_tpu.pvt.antex import antmodel
-
-                g1, g2 = o.f1_hz ** 2, o.f2_hz ** 2
-                a1, a2 = g1 / (g1 - g2), -g2 / (g1 - g2)
                 f1c = "G01" if o.system == "G" else "E01"
                 f2c = "G02" if o.system == "G" else "E05"
                 d_if = (a1 * antmodel(self.rx_antenna, f1c, az, el)
@@ -243,13 +251,10 @@ class PppEngine:
                 # iono-free phase range shifts by lam_IF * phw where
                 # lam_IF = a1*lam1 + a2*lam2 (rtklib corr_meas applies
                 # -phw*lam per frequency before combining)
-                from gnss_sdr_tpu.pvt.tides import phase_windup as _phw
-
                 key = (o.system, o.prn)
-                phw = _phw(sat, rr_disp, rsun, self.phw.get(key, 0.0))
+                phw = tides.phase_windup(sat, rr_disp, rsun,
+                                         self.phw.get(key, 0.0))
                 self.phw[key] = phw
-                g1, g2 = o.f1_hz ** 2, o.f2_hz ** 2
-                a1, a2 = g1 / (g1 - g2), -g2 / (g1 - g2)
                 lam_if = a1 * C_LIGHT / o.f1_hz + a2 * C_LIGHT / o.f2_hz
                 l_if = l_if - lam_if * phw
             pred_p = rho + self.x[3] + m * self.x[4]

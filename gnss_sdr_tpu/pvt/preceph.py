@@ -214,9 +214,12 @@ class PreciseEphemeris:
         if np.isnan(pp).any():
             return None
         p_out = np.array([_neville(tt, pp[:, k], t_tow) for k in range(3)])
-        # clock: the dense RINEX CLK product wins over the SP3 column
+        # clock: the dense RINEX CLK product wins over the SP3 column.
+        # The CLK TOW axis is in the CLK file's own first-record week;
+        # shift it into the SP3 week frame before comparing.
         if self.clk is not None and key in self.clk.clk:
             ct, cb = self.clk.clk[key]
+            ct = ct + (self.clk.week - self.data.week) * 604800.0
             if ct[0] - 300 <= t_tow <= ct[-1] + 300:
                 return p_out, float(np.interp(t_tow, ct, cb))
         # SP3 clock: linear between bracketing finite samples

@@ -36,8 +36,10 @@ _GMM = 4.902801e12
 
 # GPS epoch 1980-01-06 00:00:00 UTC as days from J2000.0 (2000-01-01 12:00)
 _GPS0_MINUS_J2000_DAYS = -7300.5
-# seconds from GPS epoch to 1975-01-01 00:00 (ocean-arg reference epoch)
-_GPS0_MINUS_1975_S = 158112000.0
+# seconds from 1975-01-01 00:00 (ocean-arg reference epoch) to the GPS
+# epoch 1980-01-06: 1831 days (1826 for the five years incl. leap 1976,
+# plus 5 days into January)
+_GPS0_MINUS_1975_S = 1831.0 * 86400.0
 
 
 def gps_to_utc_s(t_gps_s: float, leap_s: float = 18.0) -> float:
@@ -139,7 +141,11 @@ def _tide_pl(eu: np.ndarray, rp: np.ndarray, gmp: float,
     if r <= 0.0:
         return np.zeros(3)
     ep = rp / r
-    k2 = gmp / _GME * _RE ** 2.04 * _RE ** 2 / r**3
+    # K2 = (GMp/GMe) * Re^4 / r^3 (IERS eq.; original RTKLIB SQR*SQR).
+    # The reference copy writes pow(RE,2.04)*pow(RE,2.0) — a typo that
+    # inflates the tide by RE^0.04 ~ 1.87x; physics (peak lunar tide
+    # ~0.36 m) confirms Re^4.
+    k2 = gmp / _GME * _RE ** 4 / r**3
     k3 = k2 * _RE / r
     latp = np.arcsin(ep[2])
     lonp = np.arctan2(ep[1], ep[0])

@@ -92,8 +92,12 @@ class ReceiverConfig:
     # epoch carries >=4 satellites observed on two bands
     positioning_mode: str = "Single"
     # earth-tide site displacement for PPP modes (PVT.earth_tide,
-    # rtklib_pvt.cc:372: 0 off, 1 solid, 2 solid+otl+pole)
+    # rtklib_pvt.cc:372: 0 off, 1 solid, 2 solid+otl+pole; tier 2 adds
+    # the pole tide and — when a BLQ table is supplied — ocean loading)
     earth_tide: int = 0
+    # (11, 6) BLQ ocean-loading table for this station (pvt.tides
+    # read_blq), used by PPP modes with earth_tide=2
+    blq: object = None
     # carrier phase windup correction for PPP modes (PVT.phwindup)
     phwindup: bool = False
 
@@ -251,6 +255,8 @@ class Receiver:
                 mode=("kinematic" if cfg.positioning_mode == "PPP_Kinematic"
                       else "static"),
                 tide_correction=cfg.earth_tide > 0,
+                pole_tide=cfg.earth_tide >= 2,
+                oload=cfg.blq if cfg.earth_tide >= 2 else None,
                 phase_windup=cfg.phwindup,
             )
 

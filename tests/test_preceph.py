@@ -170,3 +170,33 @@ def test_rinex_clk_reader_and_override(tmp_path):
     pe2 = PreciseEphemeris(sp3b, clk=clk)
     _, c2 = pe2.sat_pos_clock("G", 9, t_base + 45.0)
     assert abs(c2 - 5e-3) < 1e-12
+
+
+def test_clk_cross_week_alignment(tmp_path):
+    """CLK products starting in a later GPS week than the SP3 must align
+    through the week-frame shift, not be silently ignored."""
+    from gnss_sdr_tpu.pvt.preceph import read_clk
+
+    ephs = make_constellation(seed=3)
+    # SP3 anchored in week 2200 with epochs crossing into week 2201
+    # (times beyond 604800 continue the same axis)
+    t0 = 604800.0 - 1800.0
+    sp3 = _sp3_from_broadcast(ephs, [5], t0=t0, dt=300.0, n=12, week=2200,
+                              clk_override=lambda prn, t: 5e-3)
+    # CLK file entirely inside week 2201 (its own first-record week)
+    lines = ["X".ljust(60) + "END OF HEADER"]
+    for k in range(7):
+        tow = 600.0 + 300.0 * k                    # week-2201 TOW
+        h, rem = divmod(tow, 3600.0)
+        mi, s = divmod(rem, 60.0)
+        lines.append(
+            f"AS G05  2022 03 13 {int(h):02d} {int(mi):02d} {s:9.6f}"
+            f"  2    {2.0e-4 + 1e-9 * k:.12E}")
+    p = tmp_path / "w.clk"
+    p.write_text("\n".join(lines) + "\n")
+    clk = read_clk(p)
+    assert clk.week == 2201
+    pe = PreciseEphemeris(sp3, clk=clk)
+    # query at week-2200-frame TOW 604800+750 = week-2201 TOW 750
+    _, c = pe.sat_pos_clock("G", 5, 604800.0 + 750.0)
+    assert abs(c - (2.0e-4 + 1e-9 * 0.5)) < 1e-12

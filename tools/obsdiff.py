@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import argparse
 import sys
-from datetime import datetime
+from datetime import datetime, timezone
 from pathlib import Path
 
 import numpy as np
@@ -74,8 +74,11 @@ def read_rinex_obs(path, system: str = "G", signal: str = "1C"):
             if not line.startswith(">"):
                 continue
             p = line.split()
+            # RINEX epochs are GPS time; anchor as UTC so the axis is
+            # machine-timezone/DST independent
             t = datetime(int(p[1]), int(p[2]), int(p[3]), int(p[4]),
-                         int(p[5]), 0) .timestamp() + float(p[6])
+                         int(p[5]), 0,
+                         tzinfo=timezone.utc).timestamp() + float(p[6])
             if t0 is None:
                 t0 = t
             nsat = int(p[8])
