@@ -231,7 +231,8 @@ def e2e_matrix() -> dict:
             fs=fs, tow_start_s=7310.0, duration_s=float(dur),
             cn0_dbhz=46.0, max_sats=8, seed=3))
         chunks = [scen.generate(i * int(fs), int(fs)) for i in range(dur)]
-        plan = P.galileo_e1b_plan(fs=fs, num_channels=8)
+        plan = P.galileo_e1b_plan(fs=fs, num_channels=8,
+                                  steps_per_block=250)
         rx = Receiver(ReceiverConfig(fs=fs, num_channels=8,
                                      int8_stream=True), plans=[plan])
         out["gal8"] = round(_run_e2e(rx, {"L1": chunks}, dur), 2)
@@ -258,7 +259,10 @@ def e2e_matrix() -> dict:
         g5 = [e5a.generate(i * int(fs5), int(fs5)) for i in range(dur)]
         plans = [
             P.gps_l1ca_plan(fs=fs1, num_channels=8, steps_per_block=1000),
-            P.galileo_e5a_plan(fs=fs5, num_channels=8),
+            # 500 x 1 ms periods per device call (the f32
+            # position guard caps E5a below 1 s at 10.4 Msps)
+            P.galileo_e5a_plan(fs=fs5, num_channels=8,
+                               steps_per_block=500),
         ]
         rx = Receiver(ReceiverConfig(fs=fs1, num_channels=8,
                                      int8_stream=True), plans=plans)
@@ -305,9 +309,12 @@ def e2e_matrix() -> dict:
         b1 = [bds.generate(i * int(fs_b1), int(fs_b1)) for i in range(dur)]
         plans = [
             P.gps_l1ca_plan(fs=fs_l1, num_channels=16, steps_per_block=1000),
-            P.galileo_e1b_plan(fs=fs_l1, num_channels=16),
-            P.glonass_l1_ca_plan(fs=fs_g1, num_channels=16),
-            P.beidou_b1i_plan(fs=fs_b1, num_channels=16),
+            P.galileo_e1b_plan(fs=fs_l1, num_channels=16,
+                               steps_per_block=250),
+            P.glonass_l1_ca_plan(fs=fs_g1, num_channels=16,
+                                 steps_per_block=1000),
+            P.beidou_b1i_plan(fs=fs_b1, num_channels=16,
+                              steps_per_block=1000),
         ]
         rx = Receiver(ReceiverConfig(fs=fs_l1, num_channels=16,
                                      int8_stream=True), plans=plans)

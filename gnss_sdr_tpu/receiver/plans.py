@@ -167,6 +167,7 @@ def galileo_e1b_plan(
     early_late_space_chips: float = 0.25,
     search_prns: tuple = tuple(range(1, 37)),
     enable_reed_solomon: bool = False,
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """Galileo E1-B data channel with a sinBOC(1,1) replica
     (reference adapters Galileo_E1_PCPS_Ambiguous_Acquisition /
@@ -219,7 +220,7 @@ def galileo_e1b_plan(
             pull_in_time_s=pull_in_time_s,
             extend_correlation_symbols=1,
             codes_per_bit=1,
-            steps_per_block=8,          # 8 x 4 ms = 32 ms per device call
+            steps_per_block=steps_per_block or 8,          # 8 x 4 ms = 32 ms per device call
             max_channels=num_channels,
         ),
         make_decoder=(
@@ -245,6 +246,7 @@ def gps_l5_plan(
     pull_in_time_s: float = 0.25,
     extend_correlation_symbols: int = 20,
     search_prns: tuple = tuple(range(1, 33)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """GPS L5: pilot (Q, NH20) tracking with data (I, NH10 x CNAV) symbol
     extraction (reference adapters GPS_L5i_PCPS_Acquisition /
@@ -303,7 +305,7 @@ def gps_l5_plan(
             sec_len_pilot=20,
             sec_len_data=10,
             data_on_quadrature=True,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=CnavDecoder,
@@ -331,6 +333,7 @@ def qzss_l5_plan(
     pull_in_time_s: float = 0.25,
     extend_correlation_symbols: int = 20,
     search_prns: tuple = tuple(range(193, 203)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """QZSS L5 (PRN 193-202): identical signal structure to GPS L5
     (IS-QZSS-PNT follows IS-GPS-705 — NH20 pilot / NH10 x CNAV data),
@@ -386,7 +389,7 @@ def qzss_l5_plan(
             sec_len_pilot=20,
             sec_len_data=10,
             data_on_quadrature=True,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=CnavDecoder,
@@ -415,6 +418,7 @@ def galileo_e5a_plan(
     pull_in_time_s: float = 0.25,
     extend_correlation_symbols: int = 20,
     search_prns: tuple = tuple(range(1, 37)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """Galileo E5a: pilot (Q, CS100) tracking with data (I, CS20 x FNAV)
     symbol extraction (reference adapters Galileo_E5a_Pcps_Acquisition /
@@ -473,7 +477,7 @@ def galileo_e5a_plan(
             sec_len_pilot=100,
             sec_len_data=20,
             data_on_quadrature=True,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=FnavDecoder,
@@ -501,6 +505,7 @@ def beidou_b1i_plan(
     pull_in_time_s: float = 0.25,
     extend_correlation_symbols: int = 20,
     search_prns: tuple = tuple(range(6, 30)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """BeiDou B1I MEO/IGSO (D1 NAV, NH20 secondary on the data channel;
     reference adapters BEIDOU_B1I_PCPS_Acquisition /
@@ -558,7 +563,7 @@ def beidou_b1i_plan(
             sec_len_data=20,
             pilot_pll_atan2=False,
             data_on_quadrature=False,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=D1Decoder,
@@ -585,6 +590,7 @@ def beidou_b1i_geo_plan(
     fll_bw_hz: float = 4.0,
     pull_in_time_s: float = 0.25,
     search_prns: tuple = (1, 2, 3, 4, 5),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """BeiDou B1I GEO (D2 NAV at 500 bps; PRNs 1-5/59-63).
 
@@ -633,7 +639,7 @@ def beidou_b1i_geo_plan(
             extend_correlation_symbols=2,
             codes_per_bit=2,
             bit_sync_delay_s=0.3,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=D2Decoder,
@@ -658,6 +664,7 @@ def galileo_e5b_plan(
     pull_in_time_s: float = 0.25,
     extend_correlation_symbols: int = 4,
     search_prns: tuple = tuple(range(1, 37)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """Galileo E5b: pilot (Q, CS100) tracking with data (I, CS4 x I/NAV)
     symbol extraction (reference adapters Galileo_E5b_PCPS_Acquisition /
@@ -718,7 +725,7 @@ def galileo_e5b_plan(
             sec_len_pilot=100,
             sec_len_data=4,
             data_on_quadrature=True,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=InavDecoder,
@@ -746,6 +753,7 @@ def gps_l2c_plan(
     pull_in_time_s: float = 1.0,
     extend_correlation_symbols: int = 1,   # CNAV flips every CM period
     search_prns: tuple = tuple(range(1, 33)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """GPS L2C, CM-only replica (reference adapters
     GPS_L2_M_PCPS_Acquisition / GPS_L2_M_DLL_PLL_Tracking /
@@ -801,7 +809,7 @@ def gps_l2c_plan(
             pull_in_time_s=pull_in_time_s,
             extend_correlation_symbols=1,
             codes_per_bit=L2C.CODES_PER_SYMBOL,
-            steps_per_block=4,          # 4 x 20 ms = 80 ms per device call
+            steps_per_block=steps_per_block or 4,          # 4 x 20 ms = 80 ms per device call
             max_channels=num_channels,
         ),
         make_decoder=CnavDecoder,
@@ -824,6 +832,7 @@ def beidou_b3i_geo_plan(
     fll_bw_hz: float = 4.0,
     pull_in_time_s: float = 0.25,
     search_prns: tuple = (1, 2, 3, 4, 5),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """BeiDou B3I GEO (D2 NAV at 500 bps, no NH secondary) — the B3-band
     twin of beidou_b1i_geo_plan (beidou_b3i_telemetry_decoder_gs GEO
@@ -867,7 +876,7 @@ def beidou_b3i_geo_plan(
             extend_correlation_symbols=2,
             codes_per_bit=2,
             bit_sync_delay_s=0.3,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=D2Decoder,
@@ -892,6 +901,7 @@ def beidou_b3i_plan(
     pull_in_time_s: float = 0.25,
     extend_correlation_symbols: int = 20,
     search_prns: tuple = tuple(range(6, 30)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """BeiDou B3I MEO/IGSO (D1 NAV + NH20, same framing as B1I but the
     13-stage-LFSR wideband code at 10.23 Mcps; reference adapters
@@ -943,7 +953,7 @@ def beidou_b3i_plan(
             sec_len_data=20,
             pilot_pll_atan2=False,
             data_on_quadrature=False,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=D1Decoder,
@@ -970,6 +980,7 @@ def glonass_l1_ca_plan(
     fll_bw_hz: float = 4.0,
     pull_in_time_s: float = 0.25,
     search_prns: tuple = tuple(range(1, 25)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """GLONASS L1 C/A (FDMA; reference adapters
     GLONASS_L1_CA_PCPS_Acquisition / GLONASS_L1_CA_DLL_PLL_Tracking /
@@ -1021,7 +1032,7 @@ def glonass_l1_ca_plan(
             pull_in_time_s=pull_in_time_s,
             extend_correlation_symbols=GLO.CODES_PER_SYMBOL,
             codes_per_bit=GLO.CODES_PER_SYMBOL,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=GnavDecoder,
@@ -1089,6 +1100,7 @@ def sbas_l1_plan(
     fll_bw_hz: float = 4.0,
     pull_in_time_s: float = 0.25,
     search_prns: tuple = tuple(range(120, 139)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """SBAS L1 (reference adapters SBAS_L1_..._Telemetry_Decoder;
     sbas_l1_telemetry_decoder_gs.cc): C/A-family codes PRN 120-138, 500
@@ -1136,7 +1148,7 @@ def sbas_l1_plan(
             pull_in_time_s=pull_in_time_s,
             extend_correlation_symbols=2,    # one 2 ms symbol
             codes_per_bit=2,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=SbasDecoder,
@@ -1159,6 +1171,7 @@ def galileo_e6b_plan(
     fll_bw_hz: float = 4.0,
     pull_in_time_s: float = 0.25,
     search_prns: tuple = tuple(range(1, 37)),
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """Galileo E6-B data channel (HAS/CNAV; reference adapters
     Galileo_E6_PCPS_Acquisition / Galileo_E6_DLL_PLL_Tracking /
@@ -1203,7 +1216,7 @@ def galileo_e6b_plan(
             pull_in_time_s=pull_in_time_s,
             extend_correlation_symbols=1,
             codes_per_bit=1,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=CnavStreamDecoder,
@@ -1260,6 +1273,7 @@ def galileo_e1bc_plan(
     extend_correlation_symbols: int = 5,
     search_prns: tuple = tuple(range(1, 37)),
     enable_reed_solomon: bool = False,
+    steps_per_block: int | None = None,
 ) -> SignalPlan:
     """Galileo E1 B+C with PILOT tracking (the reference's default E1
     configuration: Galileo_E1_DLL_PLL_VEML_Tracking with track_pilot=true,
@@ -1330,7 +1344,7 @@ def galileo_e1bc_plan(
             sec_len_data=1,
             pilot_pll_atan2=True,
             data_on_quadrature=False,
-            steps_per_block=20,
+            steps_per_block=steps_per_block or 20,
             max_channels=num_channels,
         ),
         make_decoder=(
