@@ -14,8 +14,32 @@ unmodified:
 
 from __future__ import annotations
 
+import re
 from pathlib import Path
 from typing import Any
+
+
+_INT_PREFIX = re.compile(r"^[+-]?(0[xX][0-9a-fA-F]+|\d+)")
+_FLOAT_PREFIX = re.compile(
+    r"^[+-]?(\d+\.?\d*|\.\d+)([eE][+-]?\d+)?")
+
+
+def _stoi(text: str) -> int:
+    """std::stoi semantics (file_configuration.cc numeric parse): consume
+    the longest valid integer prefix, ignore trailing junk (reference
+    confs carry values like ``8;`` or ``8; 8``)."""
+    m = _INT_PREFIX.match(text.strip())
+    if not m:
+        raise ValueError(f"cannot parse integer from {text!r}")
+    return int(m.group(0), 0)
+
+
+def _stof(text: str) -> float:
+    """std::stof semantics: longest valid float prefix."""
+    m = _FLOAT_PREFIX.match(text.strip())
+    if not m:
+        raise ValueError(f"cannot parse float from {text!r}")
+    return float(m.group(0))
 
 
 def _parse_bool(text: str) -> bool:
@@ -47,9 +71,9 @@ class ConfigurationInterface:
         if isinstance(default, bool):  # before int: bool is an int subclass
             return _parse_bool(raw)
         if isinstance(default, int):
-            return int(raw, 0)
+            return _stoi(raw)
         if isinstance(default, float):
-            return float(raw)
+            return _stof(raw)
         return raw
 
     def set_property(self, name: str, value: Any) -> None:

@@ -120,6 +120,9 @@ def run_from_config(cfg, max_seconds: float | None = None):
         phwindup=cfg.property("PVT.phwindup", False),
         blq=_load_blq(cfg),
     )
+    from gnss_sdr_tpu.receiver.factory import check_observables_impl
+
+    check_observables_impl(cfg)
     receiver = Receiver(rx_cfg, plans=plans)
     outputs = get_pvt_outputs(cfg)
 

@@ -307,7 +307,9 @@ def get_signal_conditioner(cfg: ConfigurationInterface,
 
     res_impl = p("Resampler", "implementation", "Pass_Through")
     fs_out = None
-    if res_impl in ("Direct_Resampler", "Mmse_Resampler"):
+    if res_impl in ("Direct_Resampler", "Mmse_Resampler",
+                    "Fractional_Resampler"):   # legacy alias of Mmse
+
         fs_out = p("Resampler", "sample_freq_out", fs_in)
         if fs_out == fs_in / decim:
             fs_out = None
@@ -367,7 +369,9 @@ class PvtOutputs:
 def get_pvt_outputs(cfg: ConfigurationInterface, week: int = 0,
                     role: str = "PVT") -> PvtOutputs:
     impl = cfg.property(f"{role}.implementation", "RTKLIB_PVT")
-    if impl != "RTKLIB_PVT":
+    # legacy aliases accepted by gnss_block_factory.cc:878
+    if impl not in ("RTKLIB_PVT", "GPS_L1_CA_PVT", "Galileo_E1_PVT",
+                    "Hybrid_PVT"):
         raise UnknownImplementation(f"{role}.implementation={impl!r}")
     out = PvtOutputs()
     if cfg.property(f"{role}.flag_nmea_tty_port", False) or cfg.property(
@@ -418,7 +422,9 @@ _PLAN_TABLE = {
          "GPS_L1_CA_PCPS_Assisted_Acquisition",
          "GPS_L1_CA_PCPS_Tong_Acquisition",
          "GPS_L1_CA_PCPS_QuickSync_Acquisition"},
-        {"GPS_L1_CA_DLL_PLL_Tracking", "GPS_L1_CA_KF_Tracking"},
+        {"GPS_L1_CA_DLL_PLL_Tracking", "GPS_L1_CA_KF_Tracking",
+         "GPS_L1_CA_Gaussian_Tracking",
+         "GPS_L1_CA_TCP_CONNECTOR_Tracking"},
         "gps_l1ca_plan",
     ),
     "1B": (
@@ -427,7 +433,8 @@ _PLAN_TABLE = {
          "Galileo_E1_PCPS_Tong_Ambiguous_Acquisition",
          "Galileo_E1_PCPS_QuickSync_Ambiguous_Acquisition",
          "Galileo_E1_PCPS_CCCWSR_Ambiguous_Acquisition"},
-        {"Galileo_E1_DLL_PLL_VEML_Tracking"},
+        {"Galileo_E1_DLL_PLL_VEML_Tracking",
+         "Galileo_E1_TCP_CONNECTOR_Tracking"},
         "galileo_e1b_plan",
     ),
     "L5": (
@@ -507,6 +514,42 @@ _PLAN_TABLE = {
     ),
 }
 
+# accepted TelemetryDecoder_XX.implementation per signal group
+# (gnss_block_factory.cc:697-752 GetTlmBlock name resolution)
+_TLM_IMPLS = {
+    "1C": "GPS_L1_CA_Telemetry_Decoder",
+    "1B": "Galileo_E1B_Telemetry_Decoder",
+    "2S": "GPS_L2C_Telemetry_Decoder",
+    "L5": "GPS_L5_Telemetry_Decoder",
+    "5X": "Galileo_E5a_Telemetry_Decoder",
+    "7X": "Galileo_E5b_Telemetry_Decoder",
+    "E6": "Galileo_E6_Telemetry_Decoder",
+    "1G": "GLONASS_L1_CA_Telemetry_Decoder",
+    "2G": "GLONASS_L2_CA_Telemetry_Decoder",
+    "B1": "BEIDOU_B1I_Telemetry_Decoder",
+    "B1G": "BEIDOU_B1I_Telemetry_Decoder",
+    "B3": "BEIDOU_B3I_Telemetry_Decoder",
+    "B3G": "BEIDOU_B3I_Telemetry_Decoder",
+    "J1": "QZSS_L1_Telemetry_Decoder",
+    "J5": "QZSS_L5_Telemetry_Decoder",
+    "SBAS": "SBAS_L1_Telemetry_Decoder",
+}
+
+# accepted Observables.implementation strings (gnss_block_factory.cc:871:
+# the per-system names are legacy aliases of the hybrid engine)
+OBSERVABLES_IMPLS = frozenset({
+    "Hybrid_Observables", "GPS_L1_CA_Observables", "GPS_L2C_Observables",
+    "Galileo_E1B_Observables", "Galileo_E5A_Observables",
+})
+
+
+def check_observables_impl(cfg: ConfigurationInterface) -> str:
+    impl = cfg.property("Observables.implementation", "Hybrid_Observables")
+    if impl not in OBSERVABLES_IMPLS:
+        raise UnknownImplementation(f"Observables.implementation={impl!r}")
+    return impl
+
+
 _DEFAULT_IMPLS = {
     "1C": ("GPS_L1_CA_PCPS_Acquisition", "GPS_L1_CA_DLL_PLL_Tracking"),
     "1B": ("Galileo_E1_PCPS_Ambiguous_Acquisition",
@@ -543,12 +586,26 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
     acq_default, trk_default = _DEFAULT_IMPLS[sig]
     acq_impl = cfg.property(f"Acquisition_{sig}.implementation", acq_default)
     trk_impl = cfg.property(f"Tracking_{sig}.implementation", trk_default)
+    # accelerator-offload twins (the reference's _GPU/_FPGA/OpenCl adapters
+    # run the same algorithm on an offload backend; here the TPU engine IS
+    # the offload backend, so the twins resolve to the batched engine)
+    for suf in ("_GPU", "_FPGA", "_Fpga"):
+        if acq_impl.endswith(suf):
+            acq_impl = acq_impl[: -len(suf)]
+        if trk_impl.endswith(suf):
+            trk_impl = trk_impl[: -len(suf)]
+    acq_impl = acq_impl.replace("_PCPS_OpenCl_", "_PCPS_")
     if acq_impl not in acq_ok:
         raise UnknownImplementation(
             f"Acquisition_{sig}.implementation={acq_impl!r}")
     if trk_impl not in trk_ok:
         raise UnknownImplementation(
             f"Tracking_{sig}.implementation={trk_impl!r}")
+    tlm_impl = cfg.property(f"TelemetryDecoder_{sig}.implementation",
+                            _TLM_IMPLS[sig])
+    if tlm_impl != _TLM_IMPLS[sig]:
+        raise UnknownImplementation(
+            f"TelemetryDecoder_{sig}.implementation={tlm_impl!r}")
 
     make = getattr(plan_mod, factory_name)
     kwargs = dict(fs=fs, num_channels=num_channels)
@@ -661,6 +718,42 @@ def get_signal_plan(cfg: ConfigurationInterface, sig: str, fs: float,
         from dataclasses import replace as _replace
 
         plan.trk_conf = _replace(plan.trk_conf, kf=True)
+    # Bayesian (CKF/UKF) carrier loop (gps_l1_ca_gaussian_tracking_cc):
+    # the filter owns the carrier estimate after `s_transient` periods;
+    # the internal PLL drops to a near-dead bandwidth so only the
+    # Gaussian commands move the NCO once the transient ends
+    if trk_impl.endswith("_Gaussian_Tracking"):
+        from dataclasses import replace as _replace
+
+        plan.trk_engine = "gaussian"
+        plan.trk_engine_params = {
+            "kind": ("unscented" if cfg.property(
+                f"Tracking_{sig}.kind", "cubature") == "unscented"
+                else "cubature"),
+            "s_transient": cfg.property(f"Tracking_{sig}.s_transient", 100),
+        }
+        # hybrid closure: the standard loops keep their configured
+        # bandwidths (pull-in and steady state stay healthy); the CKF/UKF
+        # adds clamped block-cadence frequency aiding once past the
+        # transient (reference p/s_transient phases)
+        if not cfg.property(f"Tracking_{sig}.bce_run", True):
+            # without the Bayesian covariance estimator the reference
+            # keeps the standard loop: stay on dll_pll
+            plan.trk_engine = "dll_pll"
+    # external loop closure over TCP (gps_l1_ca_tcp_connector_tracking_cc
+    # + tcp_communication.cc): correlator taps stream to the peer, the
+    # peer's NCO commands drive the device state
+    if trk_impl.endswith("_TCP_CONNECTOR_Tracking"):
+        from dataclasses import replace as _replace
+
+        plan.trk_engine = "tcp"
+        plan.trk_engine_params = {
+            "port": cfg.property(f"Tracking_{sig}.port_ch0", 2060),
+        }
+        # the internal loops must not fight the external peer
+        plan.trk_conf = _replace(plan.trk_conf, pll_bw_hz=1e-4,
+                                 dll_bw_hz=1e-5,
+                                 enable_fll_pull_in=False)
     # per-block dumps (reference Tracking_XX.dump / dump_filename)
     if cfg.property(f"Tracking_{sig}.dump", False):
         plan.dump_filename = cfg.property(

@@ -65,6 +65,12 @@ class SignalPlan:
     # acq_engine_params (e.g. tong_max, folding_factor, chips_table)
     acq_engine: str = "pcps"
     acq_engine_params: dict = field(default_factory=dict)
+    # tracking loop-closure variant: "dll_pll" (default; includes the kf
+    # mode flag on trk_conf), "gaussian" (CKF/UKF carrier loop,
+    # GPS_L1_CA_Gaussian_Tracking), or "tcp" (external peer closes the
+    # loops, *_TCP_CONNECTOR_Tracking); ctor kwargs in trk_engine_params
+    trk_engine: str = "dll_pll"
+    trk_engine_params: dict = field(default_factory=dict)
 
     def carrier_offset_hz(self, prn: int) -> float:
         if self.freq_offset_table is None:

@@ -164,6 +164,29 @@ class SignalGroup:
             sec_data_levels=plan.sec_data_levels,
             mesh=mesh,
         )
+        # block-cadence loop-closure variants (plan.trk_engine): the
+        # closer reads the block's packed outputs and writes the device
+        # NCO state between launches (the same eager per-channel writes
+        # the host FSM uses)
+        self.loop_closer = None
+        if plan.trk_engine == "gaussian":
+            from gnss_sdr_tpu.tracking.gaussian import GaussianLoopCloser
+
+            p = dict(plan.trk_engine_params)
+            self.loop_closer = GaussianLoopCloser(
+                plan.num_channels, plan.trk_conf.code_period_s, **p)
+        elif plan.trk_engine == "tcp":
+            from gnss_sdr_tpu.tracking.tcp_connector import (
+                TcpConnectorTracking,
+                TcpLoopClient,
+            )
+
+            p = dict(plan.trk_engine_params)
+            client = TcpLoopClient(
+                address=p.get("address", "127.0.0.1"),
+                port=int(p.get("port", 2060)))
+            self.loop_closer = TcpConnectorTracking(
+                None, client, list(range(plan.num_channels)))
         self.decoders: dict[int, object] = {}
         self.channel_prn = [0] * plan.num_channels
         # sub-chip (table-unit) code phase by stamp for TOW anchoring
@@ -429,6 +452,9 @@ class Receiver:
             )
             g.channel_prn[ch] = prn
             g.decoders[prn] = plan.make_decoder(prn)
+            if g.loop_closer is not None and hasattr(g.loop_closer,
+                                                     "reset_channel"):
+                g.loop_closer.reset_channel(ch)
             log.info(
                 "acq %s%02d %s: doppler %+.0f Hz delay %.1f -> channel %d",
                 plan.system, prn, plan.name, dop_hz, delay_sp,
@@ -518,6 +544,8 @@ class Receiver:
                     self._drop_laggard(g)
                     continue
                 progressed = True
+                if g.loop_closer is not None:
+                    g.loop_closer.after_block(g.tracker, result)
                 self._handle_block(g, result)
             if not progressed:
                 break

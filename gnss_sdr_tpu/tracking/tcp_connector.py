@@ -81,11 +81,16 @@ class TcpConnectorTracking:
         self.channels = list(channels)
 
     def process(self, window, abs_base: int):
-        import jax.numpy as jnp
-
         result = self.tracker.process(window, abs_base)
+        self.after_block(self.tracker, result)
+        return result
+
+    def after_block(self, tracker, result) -> None:
+        """Exchange one record per connected channel and apply the peer's
+        NCO commands (used directly by the live receiver after each
+        process_device block)."""
         out = result.outputs
-        conf = self.tracker.conf
+        conf = tracker.conf
         records = []
         for ch in self.channels:
             b = out["boundary"][:, ch]
@@ -107,14 +112,17 @@ class TcpConnectorTracking:
             ))
         if records:
             cmds = self.client.exchange(records)
-            s = self.tracker.state
+            s = tracker.state
             for ch, (dop, cf) in cmds.items():
+                # absolute-frequency commands land in the PLL integrator
+                # too: pll_state[:,0] carries the absolute Doppler and
+                # rewrites carrier_doppler at every boundary
                 s = s._replace(
                     carrier_doppler=s.carrier_doppler.at[ch].set(dop),
+                    pll_state=s.pll_state.at[ch, 0].set(dop),
                     code_freq=s.code_freq.at[ch].set(cf),
                 )
-            self.tracker.state = s
-        return result
+            tracker.state = s
 
 
 class SimpleLoopServer:

@@ -55,3 +55,28 @@ def test_bool_parsing_variants():
     assert cfg.property("a", False) is True
     assert cfg.property("b", True) is False
     assert cfg.property("c", False) is True
+
+
+def test_numeric_prefix_parse_matches_stof_stoi(tmp_path):
+    """std::stof/stoi semantics: the longest valid numeric prefix parses,
+    trailing junk is ignored (reference confs carry values like
+    '0.0000008; 0.0000008' — File_input/MultiCons/gnss-sdr_Hybrid_ishort
+    .conf:99 — and 'dump=false;')."""
+    p = tmp_path / "t.conf"
+    p.write_text(
+        "Acquisition_1B.pfa=0.0000008; 0.0000008\n"
+        "Tracking_1C.order=3;\n"
+        "Foo.n=8; 8\n"
+        "Foo.hex=0x10\n"
+        "Foo.neg=-2.5e-3junk\n"
+    )
+    cfg = FileConfiguration(str(p))
+    assert cfg.property("Acquisition_1B.pfa", 0.0) == 8e-7
+    assert cfg.property("Tracking_1C.order", 0) == 3
+    assert cfg.property("Foo.n", 0) == 8
+    assert cfg.property("Foo.hex", 0) == 16
+    assert cfg.property("Foo.neg", 0.0) == -2.5e-3
+    with pytest.raises(ValueError):
+        cfg2 = FileConfiguration(str(p))
+        cfg2.set_property("Foo.bad", "abc")
+        cfg2.property("Foo.bad", 0.0)

@@ -233,3 +233,72 @@ Acquisition_1C.doppler_max=5000
     assert cfg.property("GNSS-SDR.internal_fs_sps", 0) == 2600000
     assert cfg.property("SignalSource.item_type", "") == "ibyte"
     assert get_channel_counts(cfg) == {"1C": 8}
+
+
+@pytest.mark.skipif(not __import__("os").path.isdir("/root/reference/conf"),
+                    reason="reference conf tree not mounted")
+def test_every_reference_conf_resolves():
+    """EVERY .conf shipped by the reference parses into runnable plans:
+    the full conf dialect (inline-comment numerics, legacy aliases,
+    Gaussian/TCP tracking variants, accelerator-offload twins) resolves
+    through the single factory path."""
+    import glob
+    import os
+
+    confs = sorted(glob.glob("/root/reference/conf/**/*.conf",
+                             recursive=True))
+    assert len(confs) > 50
+    for path in confs:
+        cfg = FileConfiguration(path)
+        fs = (cfg.property("GNSS-SDR.internal_fs_sps", 0.0)
+              or cfg.property("GNSS-SDR.internal_fs_hz", 0.0) or 4e6)
+        counts = get_channel_counts(cfg)
+        for sig, n in counts.items():
+            plan = get_signal_plan(cfg, sig, fs=fs, num_channels=n)
+            assert plan.num_channels == n, path
+
+
+def test_gaussian_tracking_conf_selects_engine():
+    cfg = _cfg({
+        "Tracking_1C.implementation": "GPS_L1_CA_Gaussian_Tracking",
+        "Tracking_1C.bce_run": "true",
+        "Tracking_1C.s_transient": "50",
+    })
+    plan = get_signal_plan(cfg, "1C", fs=2.6e6, num_channels=4)
+    assert plan.trk_engine == "gaussian"
+    assert plan.trk_engine_params["s_transient"] == 50
+    # without the Bayesian covariance estimator the standard loop stays
+    cfg2 = _cfg({
+        "Tracking_1C.implementation": "GPS_L1_CA_Gaussian_Tracking",
+        "Tracking_1C.bce_run": "false",
+    })
+    assert get_signal_plan(cfg2, "1C", fs=2.6e6,
+                           num_channels=4).trk_engine == "dll_pll"
+
+
+def test_tcp_connector_conf_selects_engine():
+    cfg = _cfg({
+        "Tracking_1C.implementation": "GPS_L1_CA_TCP_CONNECTOR_Tracking",
+        "Tracking_1C.port_ch0": "3333",
+    })
+    plan = get_signal_plan(cfg, "1C", fs=2.6e6, num_channels=2)
+    assert plan.trk_engine == "tcp"
+    assert plan.trk_engine_params["port"] == 3333
+    # the internal loops are deadened so the peer owns the closure
+    assert plan.trk_conf.pll_bw_hz < 1e-3
+
+
+def test_accelerator_twin_impls_resolve():
+    """_GPU/_FPGA/OpenCl twins run the same algorithm on an offload
+    backend; here they resolve to the batched TPU engine."""
+    cfg = _cfg({
+        "Acquisition_1C.implementation": "GPS_L1_CA_PCPS_Acquisition_Fpga",
+        "Tracking_1C.implementation": "GPS_L1_CA_DLL_PLL_Tracking_GPU",
+    })
+    plan = get_signal_plan(cfg, "1C", fs=2.6e6, num_channels=2)
+    assert plan.trk_engine == "dll_pll"
+    cfg2 = _cfg({
+        "Acquisition_1C.implementation": "GPS_L1_CA_PCPS_OpenCl_Acquisition",
+    })
+    assert get_signal_plan(cfg2, "1C", fs=2.6e6,
+                           num_channels=2).acq_engine == "pcps"

@@ -85,3 +85,53 @@ def test_carrier_tracker_follows_phase_ramp(kind):
     dphi = (xs[-1, :, 0] - phi[-1]) % np.pi
     dphi = np.minimum(dphi, np.pi - dphi)
     assert np.all(dphi < 0.2), dphi
+
+
+def test_gaussian_loop_closer_pulls_in_frequency():
+    """The block-cadence CKF loop closer (the live-receiver integration of
+    GPS_L1_CA_Gaussian_Tracking) pulls a Doppler handoff error in while the
+    internal PLL is near-dead — only the filter's commands move the NCO."""
+    from gnss_sdr_tpu.codes.gps_l1_ca import gps_l1_ca_code_table
+    from gnss_sdr_tpu.constants import gps_l1_ca as G
+    from gnss_sdr_tpu.simulate import SatelliteSignalParams, generate_baseband
+    from gnss_sdr_tpu.tracking import DllPllConf, Tracker
+    from gnss_sdr_tpu.tracking.gaussian import GaussianLoopCloser
+
+    fs = 2.6e6
+    sps = fs / G.CODE_RATE_CPS
+    true_dop = 820.0
+    sat = SatelliteSignalParams(prn=7, cn0_dbhz=48.0, doppler_hz=true_dop,
+                                delay_chips=80.0)
+    x = generate_baseband([sat], fs, int(fs * 1.2), seed=11)
+
+    conf = DllPllConf(
+        fs=fs, code_length_chips=G.CODE_LENGTH_CHIPS,
+        code_rate_cps=G.CODE_RATE_CPS, carrier_freq_hz=G.FREQ_HZ,
+        pll_bw_hz=1e-4, dll_bw_hz=1e-5, enable_fll_pull_in=False,
+        pll_bw_narrow_hz=1e-4, dll_bw_narrow_hz=1e-5,
+        max_channels=2, steps_per_block=20,
+    )
+    tracker = Tracker(conf, gps_l1_ca_code_table())
+    tracker.start_channel(ch=0, prn=7, code_row=6,
+                          acq_delay_samples=80.0 * sps,
+                          acq_doppler_hz=true_dop - 5.0,
+                          acq_samplestamp=0, current_abs_sample=0)
+    closer = GaussianLoopCloser(2, conf.code_period_s, s_transient=0,
+                                meas_std=1.0)
+
+    dops = []
+    while True:
+        base, w = tracker.window_request()
+        if base + w > len(x):
+            break
+        r = tracker.process(x[base:base + w], base)
+        closer.after_block(tracker, r)
+        dops.append(float(r.outputs["carrier_doppler"][-1, 0]))
+
+    # the filter pulled the 5 Hz handoff error in (steady-state mean;
+    # individual block commands jitter ~1-2 Hz around the truth)
+    steady = float(np.mean(dops[-10:]))
+    assert abs(steady - true_dop) < 2.0, steady
+    # and it was really the filter: the dead internal loops alone would
+    # have left the initial offset
+    assert abs(dops[0] - steady) > 2.0
