@@ -179,6 +179,16 @@ def run_from_config(cfg, max_seconds: float | None = None):
             receiver, port=cfg.property("GNSS-SDR.telecommand_tcp_port", 3333)
         )
 
+    # IPC message-queue command channel (reference ControlThread spawns a
+    # sysv/boost message-queue listener, control_thread.cc:428-431): a
+    # named FIFO carrying the same line commands
+    fifo_reader = None
+    fifo_path = cfg.property("GNSS-SDR.command_fifo", "")
+    if fifo_path:
+        from gnss_sdr_tpu.receiver.telecommand import FifoCmdReader
+
+        fifo_reader = FifoCmdReader(receiver, fifo_path)
+
     # periodic channel-status console table
     # (channel_status_msg_receiver analog)
     status_display = None
@@ -253,10 +263,11 @@ def run_from_config(cfg, max_seconds: float | None = None):
                     receiver.acquire()
                 except ValueError:
                     pass  # not enough contiguous samples buffered yet
-        if tc_server is not None:
-            cmds = tc_server.apply_pending()
-            if any(c in ("standby", "reset", "coldstart") for c in cmds):
-                acq_done = False
+        for chan in (tc_server, fifo_reader):
+            if chan is not None:
+                cmds = chan.apply_pending()
+                if any(c in ("standby", "reset", "coldstart") for c in cmds):
+                    acq_done = False
         for sol in receiver.status.fixes[printed:]:
             outputs.print_position(sol)
         printed = len(receiver.status.fixes)
@@ -271,6 +282,8 @@ def run_from_config(cfg, max_seconds: float | None = None):
         )
     if tc_server is not None:
         tc_server.close()
+    if fifo_reader is not None:
+        fifo_reader.close()
     receiver.close()
     outputs.close()
     return receiver.status

@@ -120,16 +120,86 @@ class TcpCmdServer:
                 cmd = self.pending.get_nowait()
             except queue.Empty:
                 return applied
-            log.info("telecommand: %s", cmd)
-            if cmd in ("standby", "reset", "coldstart"):
-                for g in self.receiver.groups:
-                    for ch in list(g.tracker.active_channels()):
-                        g.tracker.stop_channel(ch)
-                        self.receiver.obs.deanchor_keep_signal(g.offset + ch)
-                    g.channel_prn = [0] * g.plan.num_channels
-                    g.decoders.clear()
-            if cmd == "coldstart":
-                self.receiver.ephemerides.clear()
-            # warmstart/hotstart: keep ephemerides; channels restart at the
-            # next acquisition tick (assistance reload is the CLI's job)
+            dispatch_command(self.receiver, cmd)
             applied.append(cmd)
+
+
+def dispatch_command(receiver, cmd: str) -> None:
+    """Apply one control command to the receiver (the ControlThread
+    event_dispatcher analog; shared by the TCP server and the message-queue
+    reader)."""
+    log.info("telecommand: %s", cmd)
+    if cmd in ("standby", "reset", "coldstart"):
+        for g in receiver.groups:
+            for ch in list(g.tracker.active_channels()):
+                g.tracker.stop_channel(ch)
+                receiver.obs.deanchor_keep_signal(g.offset + ch)
+            g.channel_prn = [0] * g.plan.num_channels
+            g.decoders.clear()
+    if cmd == "coldstart":
+        receiver.ephemerides.clear()
+    # warmstart/hotstart: keep ephemerides; channels restart at the
+    # next acquisition tick (assistance reload is the CLI's job)
+
+
+class FifoCmdReader:
+    """Message-queue command channel (reference ControlThread spawns a
+    boost-IPC message-queue listener, control_thread.cc:428-431
+    sysv_queue_listener reading command doubles from 'gnss_sdr_ttff_message_queue'-style
+    queues): here a named FIFO carries the same line commands as the TCP
+    interface, so scripts can `echo coldstart > /tmp/gnss_sdr_cmd`.
+
+    The FIFO is created if absent; a daemon thread re-opens it after each
+    writer disconnects (named-pipe EOF semantics)."""
+
+    def __init__(self, receiver, path: str) -> None:
+        import os
+
+        self.receiver = receiver
+        self.path = path
+        self.pending: queue.Queue[str] = queue.Queue()
+        if not os.path.exists(path):
+            os.mkfifo(path)
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._reader, daemon=True)
+        self._thread.start()
+        log.info("command FIFO at %s", path)
+
+    def _reader(self) -> None:
+        while not self._stop.is_set():
+            try:
+                # blocks until a writer opens the FIFO
+                with open(self.path, "r") as f:
+                    for line in f:
+                        cmd = line.strip().lower()
+                        if cmd in COMMANDS:
+                            self.pending.put(cmd)
+                        elif cmd:
+                            log.warning("FIFO: unknown command %r", cmd)
+            except OSError:
+                return
+
+    def apply_pending(self) -> list[str]:
+        applied = []
+        while True:
+            try:
+                cmd = self.pending.get_nowait()
+            except queue.Empty:
+                return applied
+            dispatch_command(self.receiver, cmd)
+            applied.append(cmd)
+
+    def close(self) -> None:
+        import os
+
+        self._stop.set()
+        # unblock the reader's open() by connecting as a writer once
+        try:
+            fd = os.open(self.path, os.O_WRONLY | os.O_NONBLOCK)
+            os.close(fd)
+        except OSError:
+            pass
+        try:
+            os.unlink(self.path)
+        except OSError:
+            pass

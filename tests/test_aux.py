@@ -271,3 +271,34 @@ def test_skyplot_tool(tmp_path, capsys):
     assert text.startswith("<svg") and "circle" in text
     # at least one satellite of 8 random-plane ephemerides is visible
     assert any(f"G{p:02d}" in text for p in list(ephs)[:8])
+
+
+def test_fifo_command_reader(tmp_path):
+    """Named-FIFO command channel (the ControlThread message-queue
+    listener analog, control_thread.cc:428-431): commands written by an
+    external process land in the host loop's dispatch."""
+    import os
+    import time
+
+    from gnss_sdr_tpu.receiver.telecommand import FifoCmdReader
+
+    class _Rx:          # dispatch only touches groups/obs/ephemerides
+        groups = ()
+        ephemerides = {}
+
+    path = str(tmp_path / "cmd.fifo")
+    rd = FifoCmdReader(_Rx(), path)
+    try:
+        assert os.path.exists(path)
+        fd = os.open(path, os.O_WRONLY)
+        os.write(fd, b"coldstart\nbogus\nstatus\n")
+        os.close(fd)
+        deadline = time.time() + 5.0
+        applied = []
+        while time.time() < deadline and len(applied) < 2:
+            applied += rd.apply_pending()
+            time.sleep(0.02)
+        assert applied == ["coldstart", "status"]
+    finally:
+        rd.close()
+    assert not os.path.exists(path)
