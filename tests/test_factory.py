@@ -302,3 +302,18 @@ def test_accelerator_twin_impls_resolve():
     })
     assert get_signal_plan(cfg2, "1C", fs=2.6e6,
                            num_channels=2).acq_engine == "pcps"
+
+
+def test_shipped_example_confs_resolve():
+    """The repo's own conf/ examples resolve through the factory."""
+    import glob
+    import os
+
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    confs = sorted(glob.glob(os.path.join(here, "conf", "*.conf")))
+    assert len(confs) >= 4
+    for path in confs:
+        cfg = FileConfiguration(path)
+        fs = cfg.property("GNSS-SDR.internal_fs_sps", 4e6)
+        for sig, n in get_channel_counts(cfg).items():
+            get_signal_plan(cfg, sig, fs=fs, num_channels=n)
